@@ -1,0 +1,9 @@
+"""bhnerf_tpu — TPU-native black-hole emission tomography framework.
+
+A ground-up JAX/XLA/Pallas rebuild with the capabilities of the reference
+bhnerf package (gravitationally-lensed 3D emission recovery around Kerr
+black holes from image-plane movies, EHT visibilities, or ALMA polarized
+lightcurves), designed for jit + sharding over TPU device meshes.
+"""
+from bhnerf_tpu import constants, units, utils
+from bhnerf_tpu import geodesics

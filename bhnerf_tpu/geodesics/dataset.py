@@ -1,0 +1,245 @@
+"""Geodesics container + image-plane trace driver.
+
+Provides the dataset contract that every downstream layer of the reference
+consumes from the external raytracer (inferred contract documented in
+SURVEY.md §2.3; usage sites: reference bhnerf/kgeo.py:107-141,
+bhnerf/emission.py:269-271, bhnerf/network.py:874-880, bhnerf/alma.py:78).
+
+Instead of an xarray.Dataset (xarray is not in the TPU image, and device
+code wants raw arrays), geodesics live in a frozen dataclass pytree whose
+leaves are host numpy float64 arrays (precompute precision) with derived
+metric quantities computed on demand. `network.raytracing_args` freezes the
+needed subset into float32 device arrays for the training hot loop.
+
+Array layout matches the reference: (num_alpha, num_beta, ngeo).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import numpy as np
+
+from bhnerf_tpu.geodesics import integrator, kerr
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class Geodesics:
+    """Bundle of ray samples + conserved quantities for one image plane."""
+
+    # per-sample arrays, shape (num_alpha, num_beta, ngeo)
+    r: np.ndarray
+    theta: np.ndarray
+    phi: np.ndarray
+    t: np.ndarray
+    mino: np.ndarray
+    dtau: np.ndarray
+    pm_r: np.ndarray          # sign of (forward) radial momentum
+    pm_th: np.ndarray         # sign of (forward) polar momentum
+    # per-pixel arrays, shape (num_alpha, num_beta)
+    alpha: np.ndarray
+    beta: np.ndarray
+    lam: np.ndarray
+    eta: np.ndarray
+    tau_final: np.ndarray
+    # scalars
+    spin: float
+    inc: float
+    M: float = 1.0
+    E: float = 1.0
+    r_o: float = 1000.0
+
+    _FIELDS = ('r', 'theta', 'phi', 't', 'mino', 'dtau', 'pm_r', 'pm_th',
+               'alpha', 'beta', 'lam', 'eta', 'tau_final')
+    _AUX = ('spin', 'inc', 'M', 'E', 'r_o')
+
+    def tree_flatten(self):
+        return (tuple(getattr(self, f) for f in self._FIELDS),
+                tuple(getattr(self, f) for f in self._AUX))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    # ---- shapes ---------------------------------------------------------
+    @property
+    def num_alpha(self):
+        return self.r.shape[0]
+
+    @property
+    def num_beta(self):
+        return self.r.shape[1]
+
+    @property
+    def ngeo(self):
+        return self.r.shape[2]
+
+    @property
+    def npix(self):
+        return self.num_alpha * self.num_beta
+
+    # ---- cartesian coordinates (reference emission.py:271) --------------
+    @property
+    def x(self):
+        return self.r * np.sin(self.theta) * np.cos(self.phi)
+
+    @property
+    def y(self):
+        return self.r * np.sin(self.theta) * np.sin(self.phi)
+
+    @property
+    def z(self):
+        return self.r * np.cos(self.theta)
+
+    # ---- metric functions (reference kgeo.py:118-171 usage) -------------
+    @property
+    def Sigma(self):
+        return np.asarray(kerr.Sigma(self.r, self.theta, self.spin))
+
+    @property
+    def Delta(self):
+        return np.asarray(kerr.Delta(self.r, self.spin))
+
+    @property
+    def Xi(self):
+        return np.asarray(kerr.Xi(self.r, self.theta, self.spin))
+
+    @property
+    def omega(self):
+        return np.asarray(kerr.omega(self.r, self.theta, self.spin))
+
+    # ---- geodesic potentials (reference kgeo.py:112-113) -----------------
+    @property
+    def R(self):
+        lam = self.lam[..., None]
+        eta = self.eta[..., None]
+        return np.asarray(kerr.R_potential(self.r, self.spin, lam, eta))
+
+    @property
+    def Theta(self):
+        lam = self.lam[..., None]
+        eta = self.eta[..., None]
+        return np.asarray(kerr.Theta_potential(self.theta, self.spin, lam, eta))
+
+    @property
+    def affine(self):
+        """Affine parameter: cumulative trapezoid of Sigma over Mino time."""
+        sig = self.Sigma
+        dm = np.diff(self.mino, axis=-1)
+        seg = 0.5 * (sig[..., 1:] + sig[..., :-1]) * dm
+        return np.concatenate(
+            [np.zeros_like(sig[..., :1]), np.cumsum(seg, axis=-1)], axis=-1)
+
+    @property
+    def coords(self):
+        """Stacked [x, y, z] (axis 0), the NeRF sampling coordinates."""
+        return np.stack([self.x, self.y, self.z], axis=0)
+
+    def fillna(self, value=0.0):
+        """xarray-API parity; this implementation produces no NaNs."""
+        return self
+
+    def keplerian_omega(self, direction=1.0, frac=1.0):
+        """Keplerian angular velocity field along the rays
+        (reference alma.py:49, Tutorial2 usage)."""
+        return np.asarray(kerr.keplerian_omega(
+            self.r, self.spin, self.M, direction, frac))
+
+
+def image_plane_geos(spin, inclination, alpha_range, beta_range, ngeo=100,
+                     num_alpha=64, num_beta=64, distance=1000.0, E=1.0, M=1.0,
+                     randomize_subpixel_rays=False, rng=None, tau_max=4.0,
+                     n_fine=8192, substeps=8, dtype=np.float64,
+                     verbose=False) -> Geodesics:
+    """Trace Kerr geodesics for a full image plane.
+
+    API mirrors the reference driver (bhnerf/kgeo.py:6-63) including
+    sub-pixel randomization (kgeo.py:51-55); the implementation is the JAX
+    integrator of `bhnerf_tpu.geodesics.integrator` run in float64.
+    """
+    del verbose
+    alpha_1d = np.linspace(*alpha_range, num_alpha)
+    beta_1d = np.linspace(*beta_range, num_beta)
+
+    if randomize_subpixel_rays:
+        rng = np.random.default_rng() if rng is None else rng
+        psize_alpha = (alpha_range[1] - alpha_range[0]) / (num_alpha - 1)
+        psize_beta = (beta_range[1] - beta_range[0]) / (num_beta - 1)
+        alpha_1d = alpha_1d + (rng.random(num_alpha) - 0.5) * psize_alpha
+        beta_1d = beta_1d + (rng.random(num_beta) - 0.5) * psize_beta
+
+    alpha, beta = np.meshgrid(alpha_1d, beta_1d, indexing='ij')
+    return trace_geodesics(alpha, beta, spin, inclination, ngeo=ngeo,
+                           distance=distance, E=E, M=M, tau_max=tau_max,
+                           n_fine=n_fine, substeps=substeps, dtype=dtype)
+
+
+def trace_geodesics(alpha, beta, spin, inclination, ngeo=100, distance=1000.0,
+                    E=1.0, M=1.0, tau_max=4.0, n_fine=8192, substeps=8,
+                    dtype=np.float64) -> Geodesics:
+    """Trace geodesics for arbitrary (alpha, beta) screen points.
+
+    alpha/beta may be any (matching) shape; output arrays get a trailing
+    ngeo axis.
+    """
+    import contextlib
+    if not 0.0 <= spin < 1.0:
+        raise ValueError(f'spin must be in [0, 1), got {spin}')
+    # exactly polar observers hit the phi coordinate singularity; nudge off
+    # the axis (physically indistinguishable at 1e-6 rad)
+    inclination = float(np.clip(inclination, 1e-6, np.pi - 1e-6))
+    shape = np.shape(alpha)
+    alpha_flat = np.ravel(np.asarray(alpha, dtype=dtype))
+    beta_flat = np.ravel(np.asarray(beta, dtype=dtype))
+
+    # pad the ray count to a power-of-two bucket so jitted integrator
+    # executables are reused across image sizes (compile amortization)
+    npix = alpha_flat.size
+    bucket = max(256, 1 << (npix - 1).bit_length())
+    alpha_pad = np.concatenate(
+        [alpha_flat, np.full(bucket - npix, alpha_flat[-1], dtype=dtype)])
+    beta_pad = np.concatenate(
+        [beta_flat, np.full(bucket - npix, beta_flat[-1], dtype=dtype)])
+
+    use_x64 = dtype == np.float64
+    ctx = jax.enable_x64(True) if use_x64 else contextlib.nullcontext()
+    with ctx:
+        state0, lam, eta = integrator.initial_state(
+            alpha_pad, beta_pad, spin, inclination, distance, dtype)
+        tau_final = integrator.terminal_mino_time(
+            state0, spin, lam, eta, distance, tau_max=tau_max, n_fine=n_fine)
+        samples = integrator.sample_rays(
+            state0, tau_final, spin, lam, eta, r_o=distance, ngeo=ngeo,
+            substeps=substeps)
+        samples = jax.tree_util.tree_map(
+            lambda x: np.asarray(x)[:, :npix], samples)
+        tau_final = np.asarray(tau_final)[:npix]
+        lam, eta = np.asarray(lam)[:npix], np.asarray(eta)[:npix]
+
+    def per_sample(arr):
+        # (ngeo, npix) -> (*shape, ngeo)
+        return np.moveaxis(arr, 0, -1).reshape(*shape, ngeo)
+
+    r = per_sample(1.0 / samples['u'])
+    # host-side exact trig: integrator works in c = cos(theta)
+    theta = per_sample(np.arccos(np.clip(samples['c'], -1.0, 1.0)))
+    phi = per_sample(samples['phi'])
+    t = per_sample(samples['t'])
+    pm_r = per_sample(samples['pm_r'])
+    pm_th = per_sample(samples['pm_th'])
+
+    tau_final = tau_final.reshape(shape)
+    h = tau_final / (ngeo - 1)
+    mino = h[..., None] * np.arange(ngeo)
+    dtau = np.broadcast_to(h[..., None], mino.shape).copy()
+
+    return Geodesics(
+        r=r, theta=theta, phi=phi, t=t, mino=mino, dtau=dtau,
+        pm_r=pm_r, pm_th=pm_th,
+        alpha=np.asarray(alpha, dtype=dtype).reshape(shape),
+        beta=np.asarray(beta, dtype=dtype).reshape(shape),
+        lam=lam.reshape(shape), eta=eta.reshape(shape),
+        tau_final=tau_final,
+        spin=float(spin), inc=float(inclination), M=float(M), E=float(E),
+        r_o=float(distance))
