@@ -204,7 +204,15 @@ def trace_geodesics(alpha, beta, spin, inclination, ngeo=100, distance=1000.0,
 
     use_x64 = dtype == np.float64
     ctx = jax.enable_x64(True) if use_x64 else contextlib.nullcontext()
-    with ctx:
+    # precompute runs on the host CPU backend by default: exact float64
+    # (accelerator f64 is emulated) and it leaves the TPU free. This is the
+    # same host/device split as the reference (numpy precompute -> device
+    # training), except the precompute is still jit-compiled JAX.
+    try:
+        dev_ctx = jax.default_device(jax.devices('cpu')[0])
+    except RuntimeError:
+        dev_ctx = contextlib.nullcontext()
+    with ctx, dev_ctx:
         state0, lam, eta = integrator.initial_state(
             alpha_pad, beta_pad, spin, inclination, distance, dtype)
         tau_final = integrator.terminal_mino_time(

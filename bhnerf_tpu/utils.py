@@ -86,10 +86,9 @@ class Grid3D:
     def integrate(self):
         """Volume integral via the trapezoid rule (xr .integrate parity)."""
         out = self.data
-        for axis in range(3):
+        for axis in (2, 1, 0):  # peel z, then y, then x off the tail
             coord = jnp.asarray(self.coord_1d(axis))
-            out = jnp.trapezoid(out, coord, axis=-3)
-            out = out[..., None] if False else out  # keep trailing axes order
+            out = jnp.trapezoid(out, coord, axis=-1)
         return out
 
     def __mul__(self, other):
