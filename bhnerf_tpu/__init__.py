@@ -7,3 +7,8 @@ lightcurves), designed for jit + sharding over TPU device meshes.
 """
 from bhnerf_tpu import constants, units, utils
 from bhnerf_tpu import geodesics
+from bhnerf_tpu import ops
+from bhnerf_tpu import emission
+from bhnerf_tpu import models
+from bhnerf_tpu import parallel
+from bhnerf_tpu import train

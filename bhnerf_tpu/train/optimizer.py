@@ -1,0 +1,246 @@
+"""Training orchestration: Optimizer loop, TrainStep containers, batching.
+
+Rebuild of reference bhnerf/optimization.py:1-363. The pmap/shard plumbing
+of the reference (optimization.py:209-216, 360-362) is replaced by a
+jax.sharding.Mesh: `TemporalBatchedArgs` places sampled frame batches with
+a 'data'-axis NamedSharding and the jitted steps parallelize from there.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+
+from bhnerf_tpu import units
+from bhnerf_tpu.parallel import mesh as mesh_lib
+from bhnerf_tpu.train import state as state_lib
+from bhnerf_tpu.train import step as step_lib
+
+
+def total_movie_loss(batchsize, state, train_step, raytracing_args,
+                     return_frames=False):
+    """Aggregate test loss over all movie frames in batchsize chunks
+    (reference optimization.py:14-66)."""
+    nt = train_step.args[0].num_frames
+    nt_tilde = nt - nt % batchsize
+    indices = list(np.array_split(np.arange(0, nt_tilde),
+                                  max(nt_tilde // batchsize, 1)))
+    if nt_tilde < nt:
+        # pad the tail chunk to batchsize by wrapping (reference pads to a
+        # device-count multiple; batchsize keeps jit shapes unique)
+        tail = np.arange(nt_tilde, nt_tilde + batchsize) % nt
+        indices.append(tail)
+
+    frames, total_loss = [], 0.0
+    for k, inds in enumerate(indices):
+        if inds.size == 0:
+            continue
+        loss, _, images = train_step(state, raytracing_args, inds,
+                                     update_state=False)
+        if k == len(indices) - 1 and nt_tilde < nt:
+            n_real = nt - nt_tilde
+            images = images[:n_real]
+            # correct the double-counted wrapped frames' loss contribution
+            loss = loss * (n_real / batchsize)
+        total_loss += float(np.sum(np.asarray(loss)))
+        if return_frames:
+            frames.append(np.asarray(images))
+
+    output = total_loss / nt
+    if return_frames:
+        output = (output, np.concatenate(frames)[:nt])
+    return output
+
+
+class Optimizer:
+    """Gradient-descent driver (reference optimization.py:68-143)."""
+
+    def __init__(self, hparams, predictor, raytracing_args, save_period=-1,
+                 checkpoint_dir='', keep=5):
+        self.step = 0
+        self.init_step = 0
+        self.num_iters = hparams['num_iters']
+        self.checkpoint_dir = checkpoint_dir
+        self.save_period = self.num_iters if save_period < 0 else save_period
+        self.loss = np.inf
+        self.keep = keep
+        self.seed = hparams.get('seed', 1)
+        self.predictor = predictor
+
+        params = predictor.init_params(seed=self.seed)
+        tx = state_lib.make_optimizer(
+            num_iters=self.num_iters,
+            lr_init=hparams.get('lr_init', 1e-4),
+            lr_final=hparams.get('lr_final', 1e-6),
+            lr_inject=hparams.get('lr_inject', None))
+        self.state = state_lib.TrainState.create(params, tx)
+        if checkpoint_dir:
+            self.state = state_lib.restore_checkpoint(checkpoint_dir,
+                                                      self.state)
+            predictor.save_params(checkpoint_dir)
+
+    def log(self):
+        for log_fn in self.log_fns:
+            log_fn(self)
+
+    def save_checkpoint(self):
+        if self.checkpoint_dir and (
+                self.step % self.save_period == 0
+                or self.step == self.final_step - 1):
+            state_lib.save_checkpoint(self.checkpoint_dir, self.state,
+                                      int(self.step), keep=self.keep)
+
+    def run(self, batchsize, train_step, raytracing_args, log_fns=(),
+            verbose=True):
+        from tqdm.auto import tqdm
+        self.init_step = int(np.asarray(jax.device_get(self.state.step))) + 1
+        self.final_step = self.init_step + self.num_iters
+        self.log_fns = np.atleast_1d(log_fns) if log_fns else []
+        self.train_step = train_step
+        self.raytracing_args = raytracing_args
+
+        iterator = range(self.init_step, self.final_step)
+        if verbose:
+            iterator = tqdm(iterator, desc='iteration')
+        try:
+            for self.step in iterator:
+                batch = train_step.args[0].sample(batchsize)
+                self.loss, self.state, images = train_step(
+                    self.state, raytracing_args, indices=batch)
+                self.log()
+                self.save_checkpoint()
+        except KeyboardInterrupt:
+            return
+
+    @property
+    def params(self):
+        return jax.device_get(self.state.params)
+
+
+class TrainStep:
+    """Composable container of (dtype, args, grad/test fns, scale)
+    (reference optimization.py:145-268)."""
+
+    def __init__(self, dtype, args, grad_fn, test_fn, scale):
+        self.dtype = list(np.atleast_1d(dtype))
+        self.args = list(np.atleast_1d(args))
+        self.grad_fn = list(np.atleast_1d(grad_fn))
+        self.test_fn = list(np.atleast_1d(test_fn))
+        self.scale = list(np.atleast_1d(scale))
+        if any(arg.t_units != units.hr for arg in self.args):
+            raise ValueError('only hr units supported')
+        sizes = {len(self.dtype), len(self.args), len(self.grad_fn),
+                 len(self.test_fn), len(self.scale)}
+        assert sizes == {len(self.dtype)}, 'input list sizes are not equal'
+        self.num_losses = len(self.dtype)
+
+    def __call__(self, state, raytracing_args, indices, update_state=True):
+        total_loss, total_images = 0.0, 0.0
+        raytracing_args = np.atleast_1d(raytracing_args)
+        if update_state:
+            fns = self.grad_fn
+            # stochastic sub-pixel-ray ensemble selection (reference
+            # optimization.py:167-169)
+            raytracing_args = [
+                raytracing_args[np.random.choice(len(raytracing_args))]]
+        else:
+            fns = self.test_fn
+
+        for rt in raytracing_args:
+            for i in range(self.num_losses):
+                batch = self.args[i][indices]
+                loss, state, images = fns[i](state, *batch, rt,
+                                             self.scale[i])
+                total_loss = total_loss + np.asarray(loss) / len(
+                    raytracing_args)
+                total_images = total_images + np.asarray(images) / len(
+                    raytracing_args)
+        return total_loss, state, total_images
+
+    def __add__(self, other):
+        return TrainStep(self.dtype + other.dtype, self.args + other.args,
+                         self.grad_fn + other.grad_fn,
+                         self.test_fn + other.test_fn,
+                         self.scale + other.scale)
+
+    @classmethod
+    def image(cls, t_frames, target, predictor, sigma=1.0, offset=0.0,
+              scale=1.0, dtype='full', mesh=None):
+        """Image-plane / lightcurve training step
+        (reference optimization.py:189-217)."""
+        target = np.asarray(target)
+        sigma = sigma * np.ones_like(target)
+        offset = offset * np.ones_like(target)
+        args = TemporalBatchedArgs(t_frames, [target, sigma, offset],
+                                   mesh=mesh)
+        grad_fn, test_fn = step_lib.make_step_fns(predictor, kind='image',
+                                                  dtype=dtype)
+        return cls(dtype, args, grad_fn, test_fn, scale)
+
+    @classmethod
+    def eht(cls, t_frames, obs, image_fov, image_size, predictor,
+            chisqdata=None, dtype='vis', pol='I', scale=1.0, mesh=None):
+        """EHT measurement training step (reference optimization.py:219-268).
+
+        obs: bhnerf_tpu.observation.Observation (or anything with
+        chisqdata(dtype, image_fov, image_size, pol) -> (target, sigma, A)
+        stacked per frame).
+        """
+        if chisqdata is not None:
+            dtype = getattr(chisqdata, 'dtype', dtype)
+        target, sigma, A = obs.chisqdata(
+            t_frames, dtype, image_fov, image_size, pol=pol)
+        args = TemporalBatchedArgs(t_frames, [target, sigma, A], mesh=mesh)
+        grad_fn, test_fn = step_lib.make_step_fns(predictor, kind='eht',
+                                                  dtype=dtype)
+        return cls(dtype, args, grad_fn, test_fn, scale)
+
+    @property
+    def t_units(self):
+        return self.args[0].t_units
+
+
+class TemporalBatchedArgs:
+    """Frame-indexed args with mesh-aware batch placement
+    (reference optimization.py:274-302)."""
+
+    def __init__(self, t_frames, args=(), mesh=None):
+        self.t_frames = t_frames
+        args = list(args) if isinstance(args, (list, tuple)) else [args]
+        self.num_frames = len(t_frames)
+        assert all(self.num_frames == arg.shape[0] for arg in args)
+        t_vals, self._t_unit = units.strip_time(t_frames, units.hr)
+        args.append(np.asarray(t_vals, np.float32))
+        self.args = args
+        self.mesh = mesh
+
+    def sample(self, batchsize, replace=False):
+        return np.random.choice(range(self.num_frames), batchsize,
+                                replace=replace)
+
+    def __getitem__(self, key):
+        batch = [arg[key, ...] for arg in self.args]
+        if self.mesh is not None:
+            batch = mesh_lib.shard_frames(batch, self.mesh)
+        return batch
+
+    @property
+    def t_units(self):
+        return self._t_unit
+
+    @property
+    def t_start_obs(self):
+        return self.t_frames[0]
+
+
+class LogFn:
+    """Periodic logging callback wrapper (reference optimization.py:349-357)."""
+
+    def __init__(self, log_fn, log_period=1):
+        self.log_period = log_period
+        self.log_fn = log_fn
+
+    def __call__(self, optimizer):
+        if self.log_period > 0:
+            if (optimizer.step == 1
+                    or optimizer.step % self.log_period == 0):
+                self.log_fn(optimizer)

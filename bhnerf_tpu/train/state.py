@@ -1,0 +1,165 @@
+"""Training state, schedules, and orbax checkpointing.
+
+Rebuild of the reference's state handling (bhnerf/network.py:171-189 uses
+flax TrainState + flax.training.checkpoints + jax_utils.replicate). Here:
+
+* `TrainState` is a minimal pytree dataclass (params + optax state + step)
+  — no replication step: under jit + NamedSharding the partitioner keeps
+  params replicated across the mesh automatically;
+* checkpoints are orbax (the current-jax replacement for flax checkpoints,
+  SURVEY.md §2.3 row 3), directory layout `checkpoint_<step>` mirroring
+  the reference so sweep-resume logic (alma.py:109) ports unchanged;
+* optax adam + polynomial lr schedule, with the optional separate
+  t_injection learning rate via optax.masked (network.py:176-180).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import re
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class TrainState:
+    step: Any
+    params: Any
+    opt_state: Any
+    tx: Any  # optax GradientTransformation (aux / static)
+
+    def tree_flatten(self):
+        return ((self.step, self.params, self.opt_state), self.tx)
+
+    @classmethod
+    def tree_unflatten(cls, tx, children):
+        return cls(*children, tx)
+
+    @classmethod
+    def create(cls, params, tx):
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   opt_state=tx.init(params), tx=tx)
+
+    def apply_gradients(self, grads):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state,
+                                                self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return TrainState(self.step + 1, new_params, new_opt_state, self.tx)
+
+
+def make_optimizer(num_iters=5000, lr_init=1e-4, lr_final=1e-6,
+                   lr_inject=None):
+    """adam + polynomial schedule (reference network.py:171-180)."""
+    lr = optax.polynomial_schedule(lr_init, lr_final, 1, num_iters)
+    tx = optax.adam(learning_rate=lr)
+    if lr_inject:
+        def make_mask(match):
+            def mask(tree):
+                flat = _flatten_dict(tree)
+                out = {k: match(k) for k in flat}
+                return _unflatten_dict(out)
+            return mask
+
+        tx = optax.chain(
+            optax.masked(optax.adam(learning_rate=lr_inject),
+                         mask=make_mask(lambda k: k[-1] == 't_injection')),
+            optax.masked(tx,
+                         mask=make_mask(lambda k: k[-1] != 't_injection')),
+        )
+    return tx
+
+
+def _flatten_dict(d, prefix=()):
+    out = {}
+    for k, v in d.items():
+        if isinstance(v, dict):
+            out.update(_flatten_dict(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = v
+    return out
+
+
+def _unflatten_dict(flat):
+    out = {}
+    for path, v in flat.items():
+        node = out
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = v
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Checkpointing (orbax)
+# ---------------------------------------------------------------------------
+_CKPT_RE = re.compile(r'^checkpoint_(\d+)$')
+
+
+def latest_checkpoint_step(checkpoint_dir):
+    checkpoint_dir = Path(checkpoint_dir)
+    if not checkpoint_dir.is_dir():
+        return None
+    steps = [int(m.group(1)) for p in checkpoint_dir.iterdir()
+             if (m := _CKPT_RE.match(p.name))]
+    return max(steps) if steps else None
+
+
+def save_checkpoint(checkpoint_dir, state: TrainState, step, keep=5):
+    """Save params/opt_state/step under checkpoint_<step>
+    (reference optimization.py:118-121 semantics)."""
+    import orbax.checkpoint as ocp
+    checkpoint_dir = Path(checkpoint_dir).absolute()
+    checkpoint_dir.mkdir(parents=True, exist_ok=True)
+    payload = {
+        'step': np.asarray(jax.device_get(state.step)),
+        'params': jax.device_get(state.params),
+        'opt_state': jax.device_get(state.opt_state),
+    }
+    path = checkpoint_dir / f'checkpoint_{int(step)}'
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, payload, force=True)
+    # prune old checkpoints
+    steps = sorted(int(m.group(1)) for p in checkpoint_dir.iterdir()
+                   if (m := _CKPT_RE.match(p.name)))
+    for old in steps[:-keep]:
+        import shutil
+        shutil.rmtree(checkpoint_dir / f'checkpoint_{old}',
+                      ignore_errors=True)
+
+
+def restore_checkpoint(checkpoint_dir, state: TrainState):
+    """Restore the latest checkpoint into `state` (no-op when none exists,
+    mirroring flax restore_checkpoint semantics at network.py:184-189)."""
+    import orbax.checkpoint as ocp
+    step = latest_checkpoint_step(checkpoint_dir)
+    if step is None:
+        return state
+    path = Path(checkpoint_dir).absolute() / f'checkpoint_{step}'
+    template = {
+        'step': np.asarray(jax.device_get(state.step)),
+        'params': jax.device_get(state.params),
+        'opt_state': jax.device_get(state.opt_state),
+    }
+    with ocp.PyTreeCheckpointer() as ckptr:
+        payload = ckptr.restore(path, item=template)
+    return TrainState(jnp.asarray(payload['step']), payload['params'],
+                      payload['opt_state'], state.tx)
+
+
+def restore_params(checkpoint_dir, params_template=None):
+    """Restore only params from the latest checkpoint
+    (reference network.py:842-848 reads raw checkpoint dicts)."""
+    import orbax.checkpoint as ocp
+    step = latest_checkpoint_step(checkpoint_dir)
+    if step is None:
+        raise FileNotFoundError(f'no checkpoint under {checkpoint_dir}')
+    path = Path(checkpoint_dir).absolute() / f'checkpoint_{step}'
+    with ocp.PyTreeCheckpointer() as ckptr:
+        payload = ckptr.restore(path)
+    return payload['params']

@@ -1,0 +1,202 @@
+"""Closed-loop recovery tests ("inverse crime", SURVEY.md §4) and
+training-stack unit tests, including multi-device mesh training.
+"""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from bhnerf_tpu import constants, emission, units
+from bhnerf_tpu.geodesics import image_plane_geos
+from bhnerf_tpu.models import NeRFPredictor, GridPredictor, sample_3d_grid
+from bhnerf_tpu.parallel import create_mesh
+from bhnerf_tpu.train import (Optimizer, TemporalBatchedArgs, TrainStep,
+                              TrainState, make_optimizer, raytracing_args,
+                              total_movie_loss, save_checkpoint,
+                              restore_checkpoint)
+
+SPIN = 0.0
+INC = np.deg2rad(60.0)
+FOV = 16.0
+
+
+@pytest.fixture(scope='module')
+def problem():
+    """Small synthetic recovery problem: forward hotspot movie + rt args."""
+    geos = image_plane_geos(spin=SPIN, inclination=INC,
+                            alpha_range=(-FOV / 2, FOV / 2),
+                            beta_range=(-FOV / 2, FOV / 2),
+                            ngeo=32, num_alpha=16, num_beta=16, n_fine=2048)
+    hotspot = emission.generate_hotspot(
+        resolution=(32, 32, 32), rot_axis=[0, 0, 1], rot_angle=0.0,
+        orbit_radius=6.5, std=0.7, r_isco=float(constants.isco_pro(SPIN)),
+        fov=FOV)
+    Omega = float(1.0 / 6.5 ** 1.5)
+    GM_hr = constants.GM_c3(constants.sgra_mass).to('hr').value
+    T_hr = 2 * np.pi / Omega * GM_hr
+    t_frames = units.Quantity(np.linspace(0.0, T_hr, 16), 'hr')
+    t_injection = -float(geos.r_o + FOV / 4)
+
+    movie = np.asarray(emission.image_plane_dynamics(
+        hotspot, geos, Omega, t_frames, t_injection=t_injection,
+        t_start_obs=t_frames[0]))
+    rt = raytracing_args(geos, Omega, t_injection, t_frames[0])
+    return dict(geos=geos, hotspot=hotspot, Omega=Omega,
+                t_frames=t_frames, movie=movie, rt=rt,
+                t_injection=t_injection)
+
+
+def test_rt_args_finite(problem):
+    rt = problem['rt']
+    for name in ('coords', 'g', 'dtau', 'Sigma', 't_geos_rel'):
+        assert np.isfinite(np.asarray(getattr(rt, name))).all(), name
+    # t_geos_rel must be O(1..1000/4) not O(r_o)
+    assert np.abs(np.asarray(rt.t_geos_rel)).max() < 3.0 * problem['geos'].r_o
+
+
+def test_forward_consistency_with_predictor(problem):
+    """NeRF predictor evaluated through the training path must reproduce
+    the direct forward model when its output equals the true emission."""
+    from bhnerf_tpu.train.step import image_plane_prediction
+    rt = problem['rt']
+
+    class TruthPredictor:
+        def emission_at(self, params, warped, valid, coords):
+            em = emission.interpolate_coords(problem['hotspot'], warped)
+            import jax.numpy as jnp
+            return jnp.where(valid, em, 0.0)
+
+    t_frames_M = rt.frame_times_M(
+        np.asarray(problem['t_frames'].value, np.float32))
+    images = np.asarray(image_plane_prediction(
+        {}, TruthPredictor(), t_frames_M, rt))
+    ref = problem['movie']
+    assert images.shape == ref.shape
+    # f32 training path vs f64 forward path
+    scale = np.abs(ref).max()
+    assert np.abs(images - ref).max() / scale < 5e-3
+
+
+def test_recovery_lightcurve_loss_drops(problem):
+    """Few hundred steps of 'full'-image training must drive the loss
+    down by >20x and recover a correlated 3D volume (Tutorial-3 analog)."""
+    rt = problem['rt']
+    predictor = NeRFPredictor(scale=FOV / 2, rmax=FOV / 2, z_width=2.0,
+                              net_depth=3, net_width=32, posenc_deg=3)
+    hparams = {'num_iters': 400, 'lr_init': 5e-3, 'lr_final': 1e-4,
+               'seed': 1}
+    optimizer = Optimizer(hparams, predictor, rt)
+    train_step = TrainStep.image(problem['t_frames'], problem['movie'],
+                                 predictor, dtype='full')
+
+    losses = []
+    optimizer.log_fns = []
+
+    class Capture:
+        def __call__(self, opt):
+            losses.append(float(np.asarray(opt.loss)))
+
+    optimizer.run(batchsize=8, train_step=train_step, raytracing_args=rt,
+                  log_fns=[Capture()], verbose=False)
+    assert len(losses) == 400
+    early = np.mean(losses[:10])
+    late = np.mean(losses[-10:])
+    assert late < early / 20.0, (early, late)
+
+    # recovered volume correlates with the truth
+    vol = sample_3d_grid(predictor, optimizer.params, fov=FOV,
+                         resolution=32)
+    truth = np.asarray(problem['hotspot'].data)
+    corr = np.corrcoef(vol.ravel(), truth.ravel())[0, 1]
+    assert corr > 0.5, corr
+
+
+def test_total_movie_loss_runs(problem):
+    rt = problem['rt']
+    predictor = NeRFPredictor(scale=FOV / 2, rmax=FOV / 2, z_width=2.0,
+                              net_depth=2, net_width=16)
+    params = predictor.init_params()
+    state = TrainState.create(params, make_optimizer(10))
+    train_step = TrainStep.image(problem['t_frames'], problem['movie'],
+                                 predictor, dtype='lc')
+    # lc target should be (nt, ...) sums — rebuild with lightcurve target
+    lc = problem['movie'].sum(axis=(-1, -2))
+    train_step = TrainStep.image(problem['t_frames'], lc, predictor,
+                                 dtype='lc')
+    loss, frames = total_movie_loss(6, state, train_step, rt,
+                                    return_frames=True)
+    assert np.isfinite(loss)
+    assert frames.shape == problem['movie'].shape
+
+
+def test_mesh_training_step_multidevice(problem):
+    """Frame-DP sharded training over the 8-device CPU mesh must agree
+    with single-device training (pmean-free gradient sync via sharding)."""
+    assert jax.device_count() >= 8
+    rt = problem['rt']
+    predictor = NeRFPredictor(scale=FOV / 2, rmax=FOV / 2, z_width=2.0,
+                              net_depth=2, net_width=16)
+    params = predictor.init_params(seed=3)
+    tx = make_optimizer(10, lr_init=1e-3)
+
+    mesh = create_mesh((8, 1))
+    step_sharded = TrainStep.image(problem['t_frames'], problem['movie'],
+                                   predictor, dtype='full', mesh=mesh)
+    step_local = TrainStep.image(problem['t_frames'], problem['movie'],
+                                 predictor, dtype='full', mesh=None)
+
+    inds = np.arange(8)
+    s0 = TrainState.create(params, tx)
+    loss_a, state_a, _ = step_sharded(s0, rt, inds)
+    s0b = TrainState.create(params, tx)
+    loss_b, state_b, _ = step_local(s0b, rt, inds)
+    np.testing.assert_allclose(np.asarray(loss_a), np.asarray(loss_b),
+                               rtol=1e-4)
+    la = jax.tree_util.tree_leaves(state_a.params)
+    lb = jax.tree_util.tree_leaves(state_b.params)
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_checkpoint_roundtrip(tmp_path, problem):
+    predictor = NeRFPredictor(net_depth=2, net_width=16)
+    params = predictor.init_params()
+    state = TrainState.create(params, make_optimizer(10))
+    state = state.apply_gradients(
+        jax.tree_util.tree_map(np.ones_like, params))
+    save_checkpoint(tmp_path, state, 1)
+    state2 = TrainState.create(predictor.init_params(seed=9),
+                               make_optimizer(10))
+    state2 = restore_checkpoint(tmp_path, state2)
+    assert int(np.asarray(state2.step)) == 1
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(state2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # predictor yaml roundtrip
+    predictor.save_params(tmp_path)
+    p2 = NeRFPredictor.from_yml(tmp_path)
+    assert p2.net_depth == 2 and p2.net_width == 16
+
+
+def test_grid_predictor_trains(problem):
+    np.random.seed(0)
+    rt = problem['rt']
+    predictor = GridPredictor(scale=FOV / 2, rmax=FOV / 2, z_width=2.0,
+                              grid_res=16)
+    # start in the active sigmoid region: the reference's -10 init is ~21
+    # logits deep in saturation and needs thousands of adam steps to wake
+    # up (same behavior as the reference's 50k-iteration production runs)
+    params = {'grid': jax.numpy.full((16, 16, 16), 10.0, jax.numpy.float32)}
+    tx = make_optimizer(150, lr_init=0.5)
+    state = TrainState.create(params, tx)
+    train_step = TrainStep.image(problem['t_frames'], problem['movie'],
+                                 predictor, dtype='full')
+    losses = []
+    for _ in range(150):
+        inds = np.arange(4)  # fixed batch: deterministic descent check
+        loss, state, _ = train_step(state, rt, inds)
+        losses.append(float(np.asarray(loss)))
+    assert np.mean(losses[-5:]) < 0.1 * np.mean(losses[:5]), (
+        np.mean(losses[:5]), np.mean(losses[-5:]))
