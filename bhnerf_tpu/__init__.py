@@ -12,3 +12,7 @@ from bhnerf_tpu import emission
 from bhnerf_tpu import models
 from bhnerf_tpu import parallel
 from bhnerf_tpu import train
+from bhnerf_tpu import observation
+from bhnerf_tpu import alma
+from bhnerf_tpu import config
+from bhnerf_tpu import visualization

@@ -1,0 +1,457 @@
+"""EHT instrument model: uv synthesis, noise, and measurement operators.
+
+TPU-native replacement for the `eht-imaging` dependency surface the
+reference consumes (SURVEY.md §2.3): observation synthesis
+(reference bhnerf/observation.py:79-187 wraps ehtim.array.obsdata +
+movie.observe_same) and chi-square data extraction
+(reference bhnerf/optimization.py:234-251 wraps
+ehtim.imaging.imager_utils.chisqdata_<dtype>, whose dense DTFT matrix A is
+used as a pure matmul at network.py:542-544).
+
+Everything here is plain numpy on host (once per experiment) producing
+dense arrays; the training-time operator is the batched complex matmul
+A @ vec(image) — MXU-friendly by construction.
+
+Physics implemented:
+* ECEF station coordinates -> (u, v, w) projections toward (ra, dec)
+  through Greenwich sidereal rotation;
+* elevation-limit flagging per station;
+* thermal noise sigma = sqrt(SEFD_i SEFD_j / (2 bw tint)) / 0.88 (the
+  standard EHT quantization-corrected radiometer equation);
+* per-scan station gain/phase corruption with the EHT2017-calibrated
+  gain tables of the reference (observation.py:152-155);
+* minimal closure-phase triangle sets per scan.
+
+D-term polarization leakage is stubbed (tier-2 fidelity, like the
+reference's dterm_noise=False default).
+"""
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+import numpy as np
+
+# EHT2017-approximated gain statistics (reference observation.py:150-155)
+GAIN_OFFSET = {'ALMA': 0.15, 'APEX': 0.15, 'SMT': 0.15, 'LMT': 0.6,
+               'PV': 0.15, 'SMA': 0.15, 'JCMT': 0.15, 'SPT': 0.15,
+               'SR': 0.0}
+GAINP = {'ALMA': 0.05, 'APEX': 0.05, 'SMT': 0.05, 'LMT': 0.5, 'PV': 0.05,
+         'SMA': 0.05, 'JCMT': 0.05, 'SPT': 0.15, 'SR': 0.0}
+
+C_LIGHT = 2.99792458e8
+SGRA_RA = 17.761121055553343     # fractional hours
+SGRA_DEC = -29.00784305556       # degrees
+SGRA_RF = 226191789062.5         # Hz
+
+
+@dataclasses.dataclass
+class ArrayConfig:
+    """Station table: names, ECEF positions [m], SEFDs [Jy]."""
+
+    names: list
+    xyz: np.ndarray    # (nstations, 3)
+    sefd: np.ndarray   # (nstations,)
+
+    @classmethod
+    def load_txt(cls, path):
+        """Parse an ehtim-format station table (eht_arrays/*.txt)."""
+        names, xyz, sefd = [], [], []
+        for line in Path(path).read_text().splitlines():
+            line = line.strip()
+            if not line or line.startswith('#'):
+                continue
+            parts = line.split()
+            names.append(parts[0])
+            xyz.append([float(parts[1]), float(parts[2]), float(parts[3])])
+            sefd.append(float(parts[4]))
+        return cls(names, np.asarray(xyz), np.asarray(sefd))
+
+    @property
+    def nstations(self):
+        return len(self.names)
+
+
+def load_txt(path):
+    """ehtim.array.load_txt parity."""
+    return ArrayConfig.load_txt(path)
+
+
+def gmst_hours(mjd, ut_hours):
+    """Greenwich mean sidereal time (hours) from MJD + UT hours.
+
+    Standard USNO approximation; arcsecond-level accuracy, ample for uv
+    coverage synthesis.
+    """
+    jd0 = np.floor(mjd) + 2400000.5
+    d0 = jd0 - 2451545.0
+    t = d0 / 36525.0
+    gmst0 = 6.697374558 + 0.06570982441908 * d0 + 0.000026 * t**2
+    return (gmst0 + 1.00273790935 * ut_hours) % 24.0
+
+
+@dataclasses.dataclass
+class Observation:
+    """Dense interferometric observation container (ehtim.Obsdata analog).
+
+    Scan-major layout: arrays are (nscan, nbl) with NaN/masked entries for
+    flagged baselines. vis is (nscan, nbl, nstokes) complex or None for an
+    'empty' observation (uv coverage only).
+    """
+
+    array: ArrayConfig
+    times: np.ndarray         # (nscan,) UT hours
+    baselines: np.ndarray     # (nbl, 2) station indices, i < j
+    u: np.ndarray             # (nscan, nbl) in wavelengths
+    v: np.ndarray             # (nscan, nbl)
+    mask: np.ndarray          # (nscan, nbl) True = valid
+    sigma: np.ndarray         # (nscan, nbl) thermal noise [Jy]
+    ra: float = SGRA_RA
+    dec: float = SGRA_DEC
+    rf: float = SGRA_RF
+    mjd: int = 57850
+    bw: float = 1856000000.0
+    tint: float = 60.0
+    vis: np.ndarray = None    # (nscan, nbl, nstokes) complex
+    pol_names: tuple = ('I', 'Q', 'U', 'V')
+
+    # ---- ehtim-parity accessors -----------------------------------------
+    @property
+    def nscan(self):
+        return len(self.times)
+
+    @property
+    def nbl(self):
+        return len(self.baselines)
+
+    def tlist(self):
+        """Per-scan record list (ehtim obs.tlist() analog)."""
+        out = []
+        for s in range(self.nscan):
+            valid = self.mask[s]
+            rec = {
+                'time': np.full(valid.sum(), self.times[s]),
+                'u': self.u[s, valid], 'v': self.v[s, valid],
+                'sigma': self.sigma[s, valid],
+                't1': self.baselines[valid, 0],
+                't2': self.baselines[valid, 1],
+            }
+            if self.vis is not None:
+                for p, name in enumerate(self.pol_names):
+                    if p < self.vis.shape[-1]:
+                        rec[{'I': 'vis', 'Q': 'qvis', 'U': 'uvis',
+                             'V': 'vvis'}[name]] = self.vis[s, valid, p]
+            out.append(rec)
+        return out
+
+    def scan_frame_assignment(self, t_frames_hr):
+        """Assign each scan to the nearest frame time (the reference
+        gathers scans into len(t_frames) groups — optimization.py:241)."""
+        t_frames_hr = np.asarray(t_frames_hr, np.float64)
+        return np.argmin(np.abs(self.times[:, None]
+                                - t_frames_hr[None, :]), axis=1)
+
+    # ---- measurement operators -------------------------------------------
+    def chisqdata(self, t_frames, dtype, image_fov, image_size, pol='I'):
+        """(target, sigma, A) stacked per frame
+        (ehtim chisqdata_<dtype> + reference optimization.py:241-255).
+
+        image_fov: radians. Returns:
+          'vis'/'amp': target (nt,[pol,]nvis), sigma same, A
+              (nt,[pol,]nvis,npix^2) complex
+          'cphase': target (nt, ntri), sigma (nt, ntri) [radians], A
+              (nt, 3, ntri, npix^2)
+        """
+        from bhnerf_tpu import units as units_lib
+        if hasattr(t_frames, 'value'):
+            t_frames = units_lib.Quantity(t_frames, 'hr').value
+        t_frames = np.asarray(t_frames, np.float64)
+        nt = len(t_frames)
+        assign = self.scan_frame_assignment(t_frames)
+
+        pols = [pol] if isinstance(pol, str) else list(pol)
+        pol_idx = [list(self.pol_names).index(p) for p in pols]
+
+        if dtype in ('vis', 'amp'):
+            per_frame = []
+            for f in range(nt):
+                scans = np.nonzero(assign == f)[0]
+                uu = [np.zeros(0)]
+                vv = [np.zeros(0)]
+                sg = [np.zeros(0)]
+                tg = [np.zeros((0, len(pols)), complex)]
+                for s in scans:
+                    val = self.mask[s]
+                    uu.append(self.u[s, val])
+                    vv.append(self.v[s, val])
+                    sg.append(self.sigma[s, val])
+                    tg.append(self.vis[s, val][:, pol_idx])
+                per_frame.append((np.concatenate(uu), np.concatenate(vv),
+                                  np.concatenate(tg), np.concatenate(sg)))
+            nvis = max(len(p[0]) for p in per_frame)
+            target = np.zeros((nt, len(pols), nvis), complex)
+            sigma = np.full((nt, len(pols), nvis), np.inf)
+            A = np.zeros((nt, len(pols), nvis, image_size**2), complex)
+            for f, (uu, vv, tg, sg) in enumerate(per_frame):
+                n = len(uu)
+                ft = dft_matrix(uu, vv, image_fov, image_size)
+                for k in range(len(pols)):
+                    target[f, k, :n] = tg[:, k]
+                    sigma[f, k, :n] = sg
+                    A[f, k, :n] = ft
+            if dtype == 'amp':
+                target = np.abs(target)
+            target, sigma, A = np.squeeze(target), np.squeeze(sigma), \
+                np.squeeze(A)
+            return target, sigma, A
+
+        if dtype == 'cphase':
+            if len(pols) != 1:
+                raise ValueError('cphase supports a single pol')
+            p = pol_idx[0]
+            per_frame = []
+            for f in range(nt):
+                scans = np.nonzero(assign == f)[0]
+                rows = []
+                for s in scans:
+                    rows.extend(self._scan_triangles(s, p))
+                per_frame.append(rows)
+            ntri = max(len(r) for r in per_frame)
+            target = np.zeros((nt, ntri))
+            sigma = np.full((nt, ntri), np.inf)
+            A = np.zeros((nt, 3, ntri, image_size**2), complex)
+            for f, rows in enumerate(per_frame):
+                for k, (uvs, cp, cp_sigma) in enumerate(rows):
+                    target[f, k] = cp
+                    sigma[f, k] = cp_sigma
+                    for leg in range(3):
+                        A[f, leg, k] = dft_matrix(
+                            uvs[leg][0:1], uvs[leg][1:2], image_fov,
+                            image_size)[0]
+            return target, sigma, A
+
+        raise ValueError(f'dtype {dtype} not supported')
+
+    def _scan_triangles(self, s, pol_index):
+        """Minimal independent closure-phase set for scan s: all triangles
+        containing the pivot (first valid) station."""
+        valid = np.nonzero(self.mask[s])[0]
+        bl = {tuple(self.baselines[b]): b for b in valid}
+        stations = sorted({st for b in valid for st in self.baselines[b]})
+        if len(stations) < 3:
+            return []
+        piv = stations[0]
+        rows = []
+
+        def get(i, j):
+            """visibility + uv for baseline (i,j), conjugated if j < i."""
+            if (min(i, j), max(i, j)) not in bl:
+                return None
+            b = bl[(min(i, j), max(i, j))]
+            vis = self.vis[s, b, pol_index]
+            uu, vv, sg = self.u[s, b], self.v[s, b], self.sigma[s, b]
+            if j < i:
+                vis, uu, vv = np.conj(vis), -uu, -vv
+            return vis, uu, vv, sg
+
+        others = [st for st in stations if st != piv]
+        for a in range(len(others)):
+            for c in range(a + 1, len(others)):
+                i, j = others[a], others[c]
+                l1, l2, l3 = get(piv, i), get(i, j), get(j, piv)
+                if l1 is None or l2 is None or l3 is None:
+                    continue
+                bisp = l1[0] * l2[0] * l3[0]
+                cp = np.angle(bisp)
+                # standard closure-phase error propagation
+                amps = np.array([np.abs(l1[0]), np.abs(l2[0]),
+                                 np.abs(l3[0])])
+                sigs = np.array([l1[3], l2[3], l3[3]])
+                cp_sigma = np.sqrt(np.sum((sigs / np.maximum(
+                    amps, 1e-12)) ** 2))
+                uvs = [(l1[1], l1[2]), (l2[1], l2[2]), (l3[1], l3[2])]
+                rows.append((uvs, cp, cp_sigma))
+        return rows
+
+
+def dft_matrix(u, v, image_fov, image_size):
+    """Dense DTFT matrix A (nvis, npix^2): A @ vec(image) = visibilities.
+
+    Pixel grid matches ehtim's make_square convention: coordinates in
+    radians, centered, x increasing toward east (negative RA direction).
+    """
+    pdim = image_fov / image_size
+    k = np.arange(image_size)
+    # ehtim ftmatrix pixel coordinates
+    coord = pdim * (k - image_size // 2 + 0.5 * ((image_size + 1) % 2))
+    x = -coord  # RA increases eastward (left)
+    y = -coord
+    X, Y = np.meshgrid(x, y, indexing='xy')
+    xv, yv = X.ravel(), Y.ravel()
+    return np.exp(-2j * np.pi * (np.outer(u, xv) + np.outer(v, yv)))
+
+
+def empty_eht_obs(array, nt, tint, tstart=4.0, tstop=15.5, ra=SGRA_RA,
+                  dec=SGRA_DEC, rf=SGRA_RF, mjd=57850, bw=1856000000.0,
+                  elevmin=15.0, elevmax=85.0, timetype='UTC',
+                  polrep='stokes'):
+    """Synthesize uv coverage from a station array + scan cadence
+    (reference observation.py:79-119)."""
+    del timetype, polrep
+    times = np.linspace(tstart, tstop, nt, endpoint=False)
+    times = times + 0.5 * (tstop - tstart) / nt
+
+    ns = array.nstations
+    baselines = np.array([(i, j) for i in range(ns)
+                          for j in range(i + 1, ns)])
+    nbl = len(baselines)
+
+    dec_r = np.deg2rad(dec)
+    lam = C_LIGHT / rf
+
+    u = np.zeros((nt, nbl))
+    v = np.zeros((nt, nbl))
+    mask = np.zeros((nt, nbl), bool)
+
+    # station latitude/longitude for elevation cuts
+    xyz = array.xyz
+    lon = np.arctan2(xyz[:, 1], xyz[:, 0])
+    lat = np.arctan2(xyz[:, 2], np.sqrt(xyz[:, 0]**2 + xyz[:, 1]**2))
+
+    for s, t_ut in enumerate(times):
+        gst = gmst_hours(mjd, t_ut) * 2 * np.pi / 24.0
+        ha_greenwich = gst - ra * 2 * np.pi / 24.0  # hour angle at lon=0
+
+        # elevation of source at each station
+        ha_local = ha_greenwich + lon
+        sin_el = (np.sin(lat) * np.sin(dec_r)
+                  + np.cos(lat) * np.cos(dec_r) * np.cos(ha_local))
+        el = np.rad2deg(np.arcsin(np.clip(sin_el, -1, 1)))
+        station_ok = (el > elevmin) & (el < elevmax)
+
+        ch, sh = np.cos(ha_greenwich), np.sin(ha_greenwich)
+        sd, cd = np.sin(dec_r), np.cos(dec_r)
+        B = xyz[baselines[:, 1]] - xyz[baselines[:, 0]]
+        u[s] = (sh * B[:, 0] + ch * B[:, 1]) / lam
+        v[s] = (-sd * ch * B[:, 0] + sd * sh * B[:, 1]
+                + cd * B[:, 2]) / lam
+        mask[s] = station_ok[baselines[:, 0]] & station_ok[baselines[:, 1]]
+
+    sefd = array.sefd
+    sigma = np.sqrt(sefd[baselines[:, 0]] * sefd[baselines[:, 1]]
+                    / (2.0 * bw * tint)) / 0.88
+    sigma = np.broadcast_to(sigma, (nt, nbl)).copy()
+
+    return Observation(array=array, times=times, baselines=baselines, u=u,
+                       v=v, mask=mask, sigma=sigma, ra=ra, dec=dec, rf=rf,
+                       mjd=mjd, bw=bw, tint=tint)
+
+
+def observe_same(movie, times_hr, psize, obs, thermal_noise=True,
+                 station_noise=False, dterm_noise=False, sigmat=0.25,
+                 seed=False):
+    """Observe a movie with the array: DFT sampling + noise corruption
+    (reference observation.py:121-187 wrapping ehtim observe_same).
+
+    movie: (nt, [nstokes,] ny, nx) Jy/pixel; times_hr: frame times;
+    psize: pixel size in radians. Returns a new Observation with vis.
+
+    Station noise follows the reference's model tier: per-station constant
+    gain offsets + per-scan gain/phase wander (stabilize_scan_* = True);
+    D-term leakage is not yet modeled (reference default dcal=True).
+    """
+    if dterm_noise:
+        raise NotImplementedError('D-term leakage is a tier-2 fidelity '
+                                  'feature not yet implemented')
+    movie = np.asarray(movie)
+    if movie.ndim == 3:
+        movie = movie[:, None]
+    nt_m, nstokes, ny, nx = movie.shape
+    rng = np.random.default_rng(None if seed is False else seed)
+
+    # scan -> nearest frame (ehtim movie sampling)
+    frame_of_scan = np.argmin(np.abs(np.asarray(times_hr)[None, :]
+                                     - obs.times[:, None]), axis=1)
+
+    fov = psize * nx
+    vis = np.zeros((obs.nscan, obs.nbl, nstokes), complex)
+    for s in range(obs.nscan):
+        val = obs.mask[s]
+        if not val.any():
+            continue
+        A = dft_matrix(obs.u[s, val], obs.v[s, val], fov, nx)
+        frame = movie[frame_of_scan[s]].reshape(nstokes, -1)
+        vis[s, val] = (A @ frame.T)
+
+    # station corruption
+    if station_noise:
+        ns = obs.array.nstations
+        off = np.array([GAIN_OFFSET.get(n, 0.1) for n in obs.array.names])
+        gp = np.array([GAINP.get(n, 0.05) for n in obs.array.names])
+        const_gain = 1.0 + off * rng.standard_normal(ns)
+        for s in range(obs.nscan):
+            g_amp = np.abs(const_gain * (1.0 + gp * rng.standard_normal(ns)))
+            g_phase = rng.uniform(-np.pi, np.pi, ns)
+            g = g_amp * np.exp(1j * g_phase)
+            b0, b1 = obs.baselines[:, 0], obs.baselines[:, 1]
+            vis[s] *= (g[b0] * np.conj(g[b1]))[:, None]
+
+    if thermal_noise:
+        noise = (rng.standard_normal(vis.shape)
+                 + 1j * rng.standard_normal(vis.shape))
+        vis = vis + obs.sigma[..., None] * noise
+
+    vis[~obs.mask] = np.nan
+    return dataclasses.replace(obs, vis=vis,
+                               pol_names=('I', 'Q', 'U', 'V')[:nstokes])
+
+
+def padded_obs(obs, field, fill_value=np.nan):
+    """Ragged per-scan field -> dense (nscan, max_nuv) matrix
+    (reference observation.py:189-207)."""
+    obslist = obs.tlist()
+    max_num_uv = max(len(rec[field]) for rec in obslist)
+    dtype = np.asarray(obslist[0][field]).dtype
+    out = np.full((len(obslist), max_num_uv), fill_value, dtype=dtype)
+    for i, rec in enumerate(obslist):
+        out[i, :len(rec[field])] = rec[field]
+    return out
+
+
+def plot_uv_coverage(obs, ax=None, fontsize=14, s=None, cmap='rainbow',
+                     add_conjugate=True, xlim=(-9.5, 9.5),
+                     ylim=(-9.5, 9.5), shift_initial_time=True, cbar=True,
+                     cmap_ticks=(0, 4, 8, 12), time_units='Hrs'):
+    """uv-coverage scatter (reference observation.py:11-77)."""
+    import matplotlib.pyplot as plt
+    giga = 1e9
+    recs = obs.tlist()
+    u = np.concatenate([r['u'] for r in recs]) / giga
+    v = np.concatenate([r['v'] for r in recs]) / giga
+    t = np.concatenate([r['time'] for r in recs])
+    if shift_initial_time and len(t):
+        t = t - t.min()
+    if add_conjugate:
+        u, v, t = np.concatenate([u, -u]), np.concatenate([v, -v]), \
+            np.concatenate([t, t])
+    if ax is None:
+        fig, ax = plt.subplots(1, 1)
+    else:
+        fig = ax.get_figure()
+    if time_units == 'mins':
+        t = t * 60.0
+    sc = ax.scatter(u, v, c=t, cmap=plt.get_cmap(cmap), s=s)
+    ax.set_xlabel(r'East-West Freq $[G \lambda]$', fontsize=fontsize)
+    ax.set_ylabel(r'North-South Freq $[G \lambda]$', fontsize=fontsize)
+    ax.invert_xaxis()
+    ax.set_xlim(xlim)
+    ax.set_ylim(ylim)
+    ax.set_aspect('equal')
+    if cbar:
+        from mpl_toolkits.axes_grid1 import make_axes_locatable
+        divider = make_axes_locatable(ax)
+        cax = divider.append_axes('right', size='3.5%', pad=0.2)
+        cb = fig.colorbar(sc, cax=cax, ticks=list(cmap_ticks))
+        cb.set_ticklabels([f'{tick} {time_units}'
+                           for tick in cb.get_ticks()])
+    return ax

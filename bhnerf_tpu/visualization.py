@@ -1,0 +1,222 @@
+"""Visualization: lightcurves, EVPA ticks, movie animation, volume render.
+
+Rebuild of reference bhnerf/visualization.py:1-779 on matplotlib + jax.
+The ipyvolume/ipywidgets interactive pieces of the reference (slider
+comparisons, ipyvolume_3d) degrade gracefully: matplotlib animation and a
+jit-compiled flat-space `VolumeVisualizer` cover the paper-figure paths.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# lightcurve / polarization plots (reference visualization.py:44-80)
+# ---------------------------------------------------------------------------
+def plot_stokes_lc(lightcurves, stokes=('I', 'Q', 'U'), t_frames=None,
+                   axes=None, plot_qu_loop=True, add_mean=False, fmt='.',
+                   color=None, label=None, fontsize=12):
+    """I/Q/U lightcurve panels + Q-U loop (reference 44-73)."""
+    import matplotlib.pyplot as plt
+    lightcurves = np.asarray(lightcurves)
+    stokes = list(np.atleast_1d(stokes))
+    n_panels = len(stokes) + (1 if plot_qu_loop and {'Q', 'U'} <= set(
+        stokes) else 0)
+    if axes is None:
+        _, axes = plt.subplots(1, n_panels, figsize=(3.2 * n_panels, 3))
+    axes = np.atleast_1d(axes)
+    t = np.arange(lightcurves.shape[0]) if t_frames is None else \
+        np.asarray(t_frames)
+    for i, s in enumerate(stokes):
+        axes[i].plot(t, lightcurves[:, i], fmt, color=color, label=label)
+        axes[i].set_title(s, fontsize=fontsize)
+        axes[i].set_xlabel('t')
+    if plot_qu_loop and {'Q', 'U'} <= set(stokes):
+        qi, ui = stokes.index('Q'), stokes.index('U')
+        ax = axes[-1]
+        ax.plot(lightcurves[:, qi], lightcurves[:, ui], fmt, color=color,
+                label=label)
+        if add_mean:
+            ax.scatter(lightcurves[:, qi].mean(), lightcurves[:, ui].mean(),
+                       marker='+', color=color)
+        ax.set_title('Q-U loop', fontsize=fontsize)
+        ax.set_xlabel('Q')
+        ax.set_ylabel('U')
+        ax.set_aspect('equal')
+    import matplotlib.pyplot as plt
+    plt.tight_layout()
+    return axes
+
+
+def plot_evpa_ticks(Q, U, alpha, beta, ax=None, color='white', scale=25,
+                    width=0.004, headwidth=0):
+    """Polarization tick quivers on an image (reference 75-80)."""
+    import matplotlib.pyplot as plt
+    if ax is None:
+        _, ax = plt.subplots()
+    evpa = 0.5 * np.arctan2(np.asarray(U), np.asarray(Q))
+    p = np.sqrt(np.asarray(Q) ** 2 + np.asarray(U) ** 2)
+    ax.quiver(alpha, beta, -p * np.sin(evpa), p * np.cos(evpa),
+              color=color, scale=scale, width=width, headwidth=headwidth,
+              headlength=0, headaxislength=0, pivot='mid')
+    return ax
+
+
+def animate_movies_synced(movies, axes, t_frames=None, vmin=None, vmax=None,
+                          cmaps='afmhot', titles=None, fps=10,
+                          output=None):
+    """Side-by-side synced animation (reference 234-366)."""
+    import matplotlib.pyplot as plt
+    from matplotlib import animation
+    movies = [np.asarray(m) for m in movies]
+    axes = np.atleast_1d(axes)
+    nt = movies[0].shape[0]
+    if isinstance(cmaps, str):
+        cmaps = [cmaps] * len(movies)
+    vmin = [m.min() for m in movies] if vmin is None else np.atleast_1d(vmin)
+    vmax = [m.max() for m in movies] if vmax is None else np.atleast_1d(vmax)
+    images = []
+    for ax, movie, cm, lo, hi in zip(axes, movies, cmaps, vmin, vmax):
+        images.append(ax.imshow(movie[0], cmap=cm, vmin=lo, vmax=hi))
+        ax.set_xticks([])
+        ax.set_yticks([])
+    if titles is not None:
+        for ax, ti in zip(axes, titles):
+            ax.set_title(ti)
+
+    def update(i):
+        for im, movie in zip(images, movies):
+            im.set_array(movie[i])
+        return images
+
+    anim = animation.FuncAnimation(axes[0].get_figure(), update, frames=nt,
+                                   interval=1000 / fps, blit=True)
+    if output is not None:
+        anim.save(output, writer='pillow', fps=fps)
+    return anim
+
+
+animate_synced = animate_movies_synced
+
+
+def plot_geodesic_3D(geos, ray_indices=None, ax=None, max_r=None):
+    """Matplotlib 3D ray viewer with the event horizon sphere
+    (reference 133-232, sans ipywidgets interactivity)."""
+    import matplotlib.pyplot as plt
+    if ax is None:
+        fig = plt.figure()
+        ax = fig.add_subplot(projection='3d')
+    x, y, z = geos.x, geos.y, geos.z
+    npix = geos.npix
+    flat = lambda a: a.reshape(npix, -1)
+    xf, yf, zf = flat(x), flat(y), flat(z)
+    if ray_indices is None:
+        ray_indices = np.linspace(0, npix - 1, 32).astype(int)
+    max_r = max_r or 1.5 * np.abs(geos.alpha).max()
+    for i in ray_indices:
+        r = np.sqrt(xf[i] ** 2 + yf[i] ** 2 + zf[i] ** 2)
+        m = r < max_r
+        ax.plot(xf[i][m], yf[i][m], zf[i][m], lw=0.5)
+    # event horizon
+    rh = 1 + np.sqrt(1 - geos.spin ** 2)
+    u_s, v_s = np.mgrid[0:2 * np.pi:20j, 0:np.pi:10j]
+    ax.plot_surface(rh * np.cos(u_s) * np.sin(v_s),
+                    rh * np.sin(u_s) * np.sin(v_s), rh * np.cos(v_s),
+                    color='black')
+    ax.set_xlim(-max_r, max_r)
+    ax.set_ylim(-max_r, max_r)
+    ax.set_zlim(-max_r, max_r)
+    return ax
+
+
+# ---------------------------------------------------------------------------
+# flat-space volume renderer (reference VolumeVisualizer, 491-755)
+# ---------------------------------------------------------------------------
+class VolumeVisualizer:
+    """Pinhole-camera renderer for recovered 3D emission volumes.
+
+    Generates camera rays, trilinearly samples the volume, and alpha-
+    composites — all jit-compiled (reference visualization.py:491-663).
+    """
+
+    def __init__(self, resolution=(256, 256), fov=30.0, samples=128):
+        self.resolution = tuple(resolution)
+        self.fov_deg = fov
+        self.samples = samples
+
+    def _rays(self, azimuth, zenith, distance):
+        h, w = self.resolution
+        fov_r = np.deg2rad(self.fov_deg)
+        # camera position on the sphere, looking at the origin
+        cam = distance * np.array([
+            np.sin(zenith) * np.cos(azimuth),
+            np.sin(zenith) * np.sin(azimuth),
+            np.cos(zenith)])
+        forward = -cam / np.linalg.norm(cam)
+        up0 = np.array([0.0, 0.0, 1.0])
+        right = np.cross(forward, up0)
+        if np.linalg.norm(right) < 1e-8:
+            right = np.array([1.0, 0.0, 0.0])
+        right = right / np.linalg.norm(right)
+        up = np.cross(right, forward)
+        ii, jj = np.meshgrid(np.linspace(-1, 1, w), np.linspace(-1, 1, h))
+        half = np.tan(fov_r / 2)
+        dirs = (forward[None, None] + half * (ii[..., None] * right
+                + jj[..., None] * up))
+        dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+        return jnp.asarray(cam), jnp.asarray(dirs)
+
+    def render(self, volume, extent, azimuth=0.3, zenith=np.pi / 3,
+               distance=None, sigma_scale=10.0, bh_radius=None,
+               cmap='hot'):
+        """Render (h, w) RGB of the volume; optional black-hole sphere.
+
+        volume: (nx, ny, nz) emission; extent: half-width of the cube [M].
+        """
+        volume = jnp.asarray(volume)
+        distance = distance or 3.0 * extent
+        cam, dirs = self._rays(azimuth, zenith, distance)
+        t_near = distance - 1.8 * extent
+        t_far = distance + 1.8 * extent
+        ts = jnp.linspace(t_near, t_far, self.samples)
+        dt = (t_far - t_near) / self.samples
+
+        @jax.jit
+        def composite(volume, cam, dirs):
+            pts = cam[None, None, None] + dirs[:, :, None] * ts[None, None,
+                                                                :, None]
+            npix_grid = jnp.asarray(volume.shape)
+            idx = (pts + extent) / (2 * extent) * (npix_grid - 1)
+            from jax.scipy.ndimage import map_coordinates
+            em = map_coordinates(volume, [idx[..., 0], idx[..., 1],
+                                          idx[..., 2]], order=1, cval=0.0)
+            if bh_radius is not None:
+                r = jnp.sqrt(jnp.sum(pts ** 2, axis=-1))
+                opaque = r < bh_radius
+            else:
+                opaque = jnp.zeros_like(em, bool)
+            alpha = 1.0 - jnp.exp(-sigma_scale * em * dt)
+            alpha = jnp.where(opaque, 1.0, alpha)
+            trans = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
+            trans = jnp.concatenate(
+                [jnp.ones_like(trans[..., :1]), trans[..., :-1]], axis=-1)
+            weights = alpha * trans
+            return jnp.sum(weights * em, axis=-1), jnp.sum(
+                weights * opaque, axis=-1)
+
+        img, shadow = composite(volume, cam, dirs)
+        img = np.asarray(img)
+        import matplotlib.pyplot as plt
+        cm = plt.get_cmap(cmap)
+        rgb = cm(img / max(img.max(), 1e-12))[..., :3]
+        rgb = rgb * (1.0 - np.asarray(shadow)[..., None])
+        return rgb
+
+
+def ipyvolume_3d(*args, **kwargs):  # pragma: no cover
+    raise NotImplementedError(
+        'ipyvolume is not available in the TPU image; use '
+        'VolumeVisualizer.render for volume rendering')

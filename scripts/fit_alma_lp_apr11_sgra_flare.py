@@ -1,0 +1,123 @@
+"""Fit the April 11 ALMA linear polarization of Sagittarius A*.
+
+TPU-native port of reference scripts/Fit_ALMA_LP_Apr11_SgrA_Flare.py:
+fits the Q-U-loop period after the X-ray flare (Wielgus et al. 2022)
+over an inclination grid x seeds with tensorboard logging and
+checkpoint-based sweep resume.
+"""
+import argparse
+import os
+import warnings
+from pathlib import Path
+
+import numpy as np
+
+warnings.simplefilter('ignore')
+
+
+def parse_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('inc', type=int, nargs='+',
+                        help='Inclination angle, or (num_blocks, index) to '
+                             'split the [4, 80] deg grid')
+    parser.add_argument('--start_inc', type=float,
+                        help='Start after this angle.')
+    parser.add_argument('--seeds', type=int, nargs='+',
+                        help='Seeds for network weight initialization.')
+    parser.add_argument('--data_path', type=str,
+                        default='../data/Apr11_HI.dat',
+                        help='Path to ALMA April 11 2017 data (HI band)')
+    parser.add_argument('--config_path', type=str,
+                        default=str(Path(__file__).with_name(
+                            'fit_alma_lp_apr11_sgra_flare.yaml')),
+                        help='Path to configuration YAML file')
+    return parser.parse_args()
+
+
+def main():
+    import bhnerf_tpu as bh
+    from bhnerf_tpu import alma, config as config_lib, units
+    from bhnerf_tpu.models import NeRFPredictor
+    from bhnerf_tpu.train import LogFn, Optimizer, TrainStep
+    from bhnerf_tpu.train.logging import SummaryWriter
+    from tqdm import tqdm
+
+    basename = 'inc_{:.1f}.seed_{}'
+    args = parse_args()
+    cfg = config_lib.RunConfig.from_yaml(args.config_path)
+    if args.data_path:
+        cfg.preprocess.data_path = args.data_path
+    opt_cfg = cfg.optimization
+
+    ckpt_root = Path(opt_cfg.checkpoint_dir)
+    ckpt_root.mkdir(parents=True, exist_ok=True)
+    cfg.to_yaml(ckpt_root / 'config.yml')
+
+    # Preprocess / train-validation split in time
+    target, t_frames = alma.preprocess_data(
+        **config_lib.dataclasses.asdict(cfg.preprocess))
+    t_start = cfg.preprocess.t_start
+    split = units.Quantity(t_start, 'hr') + units.Quantity(
+        opt_cfg.train_split, 'min')
+    t_vals = np.asarray(units.Quantity(t_frames, 'hr').value)
+    train_idx = t_vals <= split.to('hr').value
+    data_train, data_val = target[train_idx], target[~train_idx]
+    t_train = units.Quantity(t_vals[train_idx], 'hr')
+    t_val = units.Quantity(t_vals[~train_idx], 'hr')
+
+    model = cfg.model
+    rmax = model.fov_M / 2
+    rmin = model.resolved_rmin()
+    predictor = NeRFPredictor(scale=rmax, rmin=rmin, rmax=rmax,
+                              z_width=model.z_width)
+    train_step = TrainStep.image(t_train, data_train, predictor,
+                                 sigma=np.asarray(opt_cfg.sigma),
+                                 dtype='lc')
+    val_step = TrainStep.image(t_val, data_val, predictor,
+                               sigma=np.asarray(opt_cfg.sigma), dtype='lc')
+    rot_angle = np.deg2rad(cfg.preprocess.de_rot_angle + 20.0)
+
+    inc_grid = config_lib.inclination_grid(args.inc, args.start_inc)
+    hparams = opt_cfg.hparams.asdict()
+    seeds = args.seeds if args.seeds else [hparams['seed']]
+
+    for inclination in tqdm(inc_grid, desc='inc'):
+        raytracing_args = alma.get_raytracing_args(
+            np.deg2rad(inclination), model.spin, model.asdict(),
+            rot_angle=rot_angle, num_subpixel_rays=model.num_subrays)
+
+        for seed in tqdm(seeds, desc='seed', leave=False):
+            runname = basename.format(inclination, seed)
+            checkpoint_dir = ckpt_root / runname
+            if checkpoint_dir.exists():
+                continue  # sweep-level resume
+
+            writer = SummaryWriter(logdir=os.path.join(opt_cfg.log_dir,
+                                                       runname))
+            log_fns = [
+                LogFn(lambda opt: writer.add_scalar(
+                    'log_loss/train', np.log10(np.mean(opt.loss)),
+                    global_step=opt.step)),
+                LogFn(lambda opt: writer.recovery_3d(model.fov_M)(opt),
+                      log_period=opt_cfg.log_period),
+                LogFn(lambda opt: writer.plot_lc_datafit(
+                    opt, 'training', train_step, data_train,
+                    ['I', 'Q', 'U'], t_vals[train_idx], batchsize=20),
+                    log_period=opt_cfg.log_period),
+                LogFn(lambda opt: writer.plot_lc_datafit(
+                    opt, 'validation', val_step, data_val,
+                    ['I', 'Q', 'U'], t_vals[~train_idx], batchsize=20),
+                    log_period=opt_cfg.log_period),
+            ]
+
+            hparams['seed'] = seed
+            optimizer = Optimizer(hparams, predictor, raytracing_args,
+                                  save_period=opt_cfg.save_period,
+                                  checkpoint_dir=str(checkpoint_dir))
+            optimizer.run(opt_cfg.batchsize, train_step, raytracing_args,
+                          log_fns=log_fns)
+            writer.close()
+
+
+if __name__ == '__main__':
+    main()

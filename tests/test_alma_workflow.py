@@ -1,0 +1,122 @@
+"""ALMA polarized-lightcurve workflow tests (Config-5 of SURVEY.md §7)."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from bhnerf_tpu import alma, config as config_lib, units
+from bhnerf_tpu.models import NeRFPredictor
+from bhnerf_tpu.train import TrainState, TrainStep, make_optimizer
+
+MODEL_PARAMS = {
+    'spin': 0.0, 'fov_M': 16.0, 'z_width': 2.0, 'rmin': 'ISCO',
+    'Q_frac': 0.85, 'b_consts': {'arad': 0, 'avert': 1, 'ator': 0},
+    'Omega_dir': 'cw', 'Omega_frac': 1.0,
+    'num_alpha': 16, 'num_beta': 16, 't_start_obs': 9.4,
+}
+
+
+def test_preprocess_data(tmp_path):
+    """Window-averaging, shadow subtraction, Faraday de-rotation."""
+    rng = np.random.default_rng(0)
+    n = 400
+    t = 9.2 + np.arange(n) * 4.0 / 3600  # 4s cadence
+    Q = 0.1 * np.cos(2 * np.pi * t / 0.5) + 0.16 * np.cos(
+        2 * np.deg2rad(-37.0))
+    U = 0.1 * np.sin(2 * np.pi * t / 0.5) + 0.16 * np.sin(
+        2 * np.deg2rad(-37.0))
+    df = pd.DataFrame({'time': t, 'I': 2.4 + 0 * t, 'Q': Q, 'U': U})
+    path = tmp_path / 'alma.csv'
+    df.to_csv(path)
+
+    target, t_frames = alma.preprocess_data(
+        str(path), window_size=8, I_hs_mean=0.3, P_sha=0.16,
+        chi_sha=-37.0, de_rot_angle=0.0, t_start=9.3, t_end=11.0)
+    assert target.shape[1] == 3  # I prior + Q + U
+    np.testing.assert_allclose(target[:, 0], 0.3)
+    # shadow polarization removed: Q/U amplitude ~0.1 centered at 0
+    assert np.abs(target[:, 1:]).max() < 0.15
+    assert np.abs(target[:, 1:].mean(axis=0)).max() < 0.05
+    assert t_frames.unit == units.hr
+
+
+@pytest.fixture(scope='module')
+def alma_rt_args():
+    return alma.get_raytracing_args(np.deg2rad(60.0), 0.0, MODEL_PARAMS,
+                                    stokes=['I', 'Q', 'U'])
+
+
+def test_image_plane_model_polarized(alma_rt_args):
+    rt = alma_rt_args[0]
+    assert rt.num_stokes == 3
+    J = np.asarray(rt.J)
+    assert np.isfinite(J).all()
+    # Q_frac bound on linear polarization fraction
+    P = np.sqrt(J[1] ** 2 + J[2] ** 2)
+    assert (P <= 0.85 * J[0] * (1 + 1e-4) + 1e-9).all()
+
+
+def test_subpixel_ray_ensemble():
+    rng = np.random.default_rng(7)
+    args = alma.get_raytracing_args(np.deg2rad(30.0), 0.0, MODEL_PARAMS,
+                                    stokes=['Q', 'U'],
+                                    num_subpixel_rays=2, rng=rng)
+    assert len(args) == 2
+    # ensembles differ (randomized sub-pixel rays)
+    assert not np.allclose(np.asarray(args[0].coords),
+                           np.asarray(args[1].coords))
+
+
+def test_polarized_lc_fit_and_chi2(tmp_path, alma_rt_args):
+    """Fit Q,U lightcurves through the TrainStep.image 'lc' path, save a
+    checkpoint, then score it with chi2_lightcurves (reference
+    alma.py:83-117 flow)."""
+    from bhnerf_tpu.train import save_checkpoint
+    rt = alma_rt_args[0]
+
+    t_frames = units.Quantity(np.linspace(9.4, 9.9, 12), 'hr')
+    predictor = NeRFPredictor(scale=8.0, rmin=6.0, rmax=8.0, z_width=2.0,
+                              net_depth=2, net_width=16)
+    # synthetic target: small nonzero stokes lightcurves
+    target = 0.05 * np.ones((12, 3))
+    train_step = TrainStep.image(t_frames, target, predictor,
+                                 sigma=np.array([0.15, 1e-2, 1e-2]),
+                                 dtype='lc')
+    state = TrainState.create(predictor.init_params(seed=0),
+                              make_optimizer(60, lr_init=1e-2))
+    np.random.seed(0)
+    losses = []
+    for _ in range(60):
+        inds = train_step.args[0].sample(6)
+        loss, state, _ = train_step(state, rt, inds)
+        losses.append(float(np.asarray(loss)))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+    ckpt_dir = tmp_path / 'run0'
+    predictor.save_params(ckpt_dir)
+    save_checkpoint(ckpt_dir, state, 60)
+    chi2 = alma.chi2_lightcurves([rt], str(ckpt_dir), t_frames, target,
+                                 sigma=np.array([0.15, 1e-2, 1e-2]),
+                                 batchsize=6)
+    assert np.isfinite(chi2) and chi2 >= 0
+
+
+def test_run_config_roundtrip(tmp_path):
+    cfg = config_lib.RunConfig.from_yaml(
+        'scripts/fit_alma_lp_apr11_sgra_flare.yaml')
+    assert cfg.model.fov_M == 40.0
+    assert cfg.optimization.hparams.num_iters == 50000
+    assert cfg.model.resolved_rmin() == 6.0  # ISCO at spin 0
+    cfg.to_yaml(tmp_path / 'cfg.yml')
+    cfg2 = config_lib.RunConfig.from_yaml(tmp_path / 'cfg.yml')
+    assert cfg2.model.fov_M == cfg.model.fov_M
+    # unknown keys rejected (typed config vs reference locals().update)
+    with pytest.raises(ValueError):
+        config_lib.RunConfig.from_dict({'model': {'spn': 0.5}})
+
+
+def test_inclination_grid():
+    grid = config_lib.inclination_grid([3, 1])
+    assert grid[0] == 30.0 and len(grid) == 13
+    assert (config_lib.inclination_grid([45]) == [45.0]).all()
+    grid = config_lib.inclination_grid([3, 0], start_inc=10)
+    assert grid[0] == 10.0

@@ -1,0 +1,194 @@
+"""EHT instrument-model tests: uv geometry, noise, measurement operators,
+closure phases, and a Tutorial-4-style visibility-domain recovery.
+"""
+import numpy as np
+import pytest
+
+from bhnerf_tpu import observation as obs_lib
+from bhnerf_tpu import units
+
+ARRAY_PATH = 'eht_arrays/EHT2017.txt'
+
+
+@pytest.fixture(scope='module')
+def array():
+    return obs_lib.load_txt(ARRAY_PATH)
+
+
+@pytest.fixture(scope='module')
+def obs_empty(array):
+    return obs_lib.empty_eht_obs(array, nt=8, tint=60.0, tstart=4.0,
+                                 tstop=15.5)
+
+
+def test_array_parse(array):
+    assert 'ALMA' in array.names
+    assert array.xyz.shape == (array.nstations, 3)
+    # all stations on (roughly) the Earth's surface
+    r = np.linalg.norm(array.xyz, axis=1)
+    assert (np.abs(r - 6.37e6) < 1e5).all()
+
+
+def test_uv_coverage_geometry(obs_empty, array):
+    lam = obs_lib.C_LIGHT / obs_empty.rf
+    uvdist = np.sqrt(obs_empty.u**2 + obs_empty.v**2)
+    bl_len = np.linalg.norm(
+        array.xyz[obs_empty.baselines[:, 1]]
+        - array.xyz[obs_empty.baselines[:, 0]], axis=1)
+    # projected baseline never exceeds physical baseline
+    assert (uvdist <= bl_len[None, :] / lam * (1 + 1e-9)).all()
+    # Earth rotation: uv points move between scans for valid baselines
+    valid = obs_empty.mask[0] & obs_empty.mask[-1]
+    assert valid.any()
+    du = np.abs(obs_empty.u[0, valid] - obs_empty.u[-1, valid])
+    assert (du > 1e5).any()
+    # some baselines flagged by elevation at some times
+    assert obs_empty.mask.any() and not obs_empty.mask.all()
+
+
+def test_point_source_visibilities(obs_empty):
+    """Centered point source: V(u,v) = flux on all baselines; closure
+    phases exactly zero."""
+    npix = 32
+    psize = 1e-10  # rad
+    movie = np.zeros((4, npix, npix))
+    movie[:, npix // 2, npix // 2] = 1.5  # ehtim center convention
+    times = np.linspace(4.0, 15.5, 4)
+    obs = obs_lib.observe_same(movie, times, psize, obs_empty,
+                               thermal_noise=False)
+    v = obs.vis[obs.mask]
+    np.testing.assert_allclose(np.abs(v[:, 0]), 1.5, rtol=1e-6)
+
+    # closure phases of a point source vanish identically
+    t_frames = units.Quantity(times, 'hr')
+    target, sigma, A = obs.chisqdata(t_frames, 'cphase', psize * npix,
+                                     npix)
+    finite = np.isfinite(sigma)
+    assert finite.any()
+    np.testing.assert_allclose(target[finite], 0.0, atol=1e-6)
+
+
+def test_offset_point_source_closure_still_zero(obs_empty):
+    npix = 32
+    psize = 1e-10
+    movie = np.zeros((2, npix, npix))
+    movie[:, npix // 2 + 5, npix // 2 - 3] = 2.0
+    times = np.array([6.0, 10.0])
+    obs = obs_lib.observe_same(movie, times, psize, obs_empty,
+                               thermal_noise=False)
+    # visibility phases are nonzero now...
+    v = obs.vis[obs.mask][:, 0]
+    assert np.abs(np.angle(v)).max() > 0.1
+    # ...but closure phases still vanish (phase errors close)
+    target, sigma, A = obs.chisqdata(units.Quantity(times, 'hr'),
+                                     'cphase', psize * npix, npix)
+    finite = np.isfinite(sigma)
+    np.testing.assert_allclose(
+        np.sin(target[finite]), 0.0, atol=1e-5)
+
+
+def test_chisqdata_vis_consistency(obs_empty):
+    """target == A @ vec(image) for the same image, noise off."""
+    npix = 16
+    psize = 1e-10
+    rng = np.random.default_rng(0)
+    movie = rng.random((2, npix, npix))
+    times = np.array([6.0, 10.0])
+    obs = obs_lib.observe_same(movie, times, psize, obs_empty,
+                               thermal_noise=False)
+    target, sigma, A = obs.chisqdata(units.Quantity(times, 'hr'), 'vis',
+                                     psize * npix, npix)
+    pred = np.einsum('tvp,tp->tv', A, movie.reshape(2, -1))
+    finite = np.isfinite(sigma)
+    np.testing.assert_allclose(pred[finite], target[finite], rtol=1e-6)
+
+
+def test_thermal_noise_statistics(obs_empty):
+    npix = 16
+    psize = 1e-10
+    movie = np.zeros((2, npix, npix))
+    times = np.array([6.0, 10.0])
+    obs = obs_lib.observe_same(movie, times, psize, obs_empty,
+                               thermal_noise=True, seed=3)
+    v = obs.vis[obs.mask]
+    s = obs.sigma[obs.mask]
+    z = np.concatenate([v.real[:, 0] / s, v.imag[:, 0] / s])
+    # standardized residuals ~ N(0,1)
+    assert 0.7 < z.std() < 1.3
+    assert np.abs(z.mean()) < 0.3
+
+
+def test_station_gain_corruption(obs_empty):
+    npix = 16
+    psize = 1e-10
+    movie = np.zeros((2, npix, npix))
+    movie[:, npix // 2, npix // 2] = 1.0
+    times = np.array([6.0, 10.0])
+    obs = obs_lib.observe_same(movie, times, psize, obs_empty,
+                               thermal_noise=False, station_noise=True,
+                               seed=1)
+    amps = np.abs(obs.vis[obs.mask][:, 0])
+    # gains scatter amplitudes away from 1
+    assert amps.std() > 0.02
+    phases = np.angle(obs.vis[obs.mask][:, 0])
+    assert np.abs(phases).max() > 0.5
+
+
+def test_padded_obs(obs_empty):
+    npix = 8
+    movie = np.zeros((2, npix, npix))
+    obs = obs_lib.observe_same(movie, np.array([6.0, 10.0]), 1e-10,
+                               obs_empty, thermal_noise=False)
+    padded = obs_lib.padded_obs(obs, 'u')
+    assert padded.shape[0] == obs.nscan
+    assert np.isnan(padded).any() or padded.shape[1] == obs.mask.sum(1).max()
+
+
+def test_eht_visibility_recovery(obs_empty):
+    """Tutorial-4 analog: recover emission from complex visibilities."""
+    import jax.numpy as jnp
+    from bhnerf_tpu import constants, emission
+    from bhnerf_tpu.geodesics import image_plane_geos
+    from bhnerf_tpu.models import NeRFPredictor
+    from bhnerf_tpu.train import (TrainStep, TrainState, make_optimizer,
+                                  raytracing_args)
+
+    fov_m = 16.0
+    npix = 16
+    geos = image_plane_geos(spin=0.0, inclination=np.deg2rad(60),
+                            alpha_range=(-fov_m / 2, fov_m / 2),
+                            beta_range=(-fov_m / 2, fov_m / 2), ngeo=32,
+                            num_alpha=npix, num_beta=npix, n_fine=2048)
+    hotspot = emission.generate_hotspot(
+        resolution=(32, 32, 32), rot_axis=[0, 0, 1], rot_angle=0.0,
+        orbit_radius=6.5, std=0.7, r_isco=6.0, fov=fov_m)
+    Omega = float(1 / 6.5 ** 1.5)
+    GM_hr = constants.GM_c3(constants.sgra_mass).to('hr').value
+    t_frames = units.Quantity(np.linspace(4.0, 15.5, 8), 'hr')
+    t_injection = -float(geos.r_o + fov_m / 4)
+    movie = np.asarray(emission.image_plane_dynamics(
+        hotspot, geos, Omega, t_frames, t_injection=t_injection,
+        t_start_obs=t_frames[0]))
+
+    # observe with the EHT2017 array (fov in radians: 100 uas)
+    fov_rad = 100 * np.pi / 180 / 3600 / 1e6
+    psize = fov_rad / npix
+    obs = obs_lib.observe_same(movie, np.asarray(t_frames.value), psize,
+                               obs_empty, thermal_noise=False)
+
+    rt = raytracing_args(geos, Omega, t_injection, t_frames[0])
+    predictor = NeRFPredictor(scale=fov_m / 2, rmax=fov_m / 2, z_width=2.0,
+                              net_depth=3, net_width=32)
+    params = predictor.init_params(seed=1)
+    state = TrainState.create(params, make_optimizer(300, lr_init=5e-3))
+    train_step = TrainStep.eht(t_frames, obs, fov_rad, npix, predictor,
+                               dtype='vis')
+
+    np.random.seed(0)
+    losses = []
+    for _ in range(300):
+        inds = train_step.args[0].sample(4)
+        loss, state, _ = train_step(state, rt, inds)
+        losses.append(float(np.asarray(loss)))
+    assert np.mean(losses[-10:]) < np.mean(losses[:10]) / 10.0, (
+        np.mean(losses[:10]), np.mean(losses[-10:]))
