@@ -17,6 +17,10 @@ import os
 import sys
 import time
 
+# the TPU plugin registers under an inconsistent platform name across
+# sessions ('axon' or 'tpu'); auto-choose always resolves the real chip
+os.environ['JAX_PLATFORMS'] = ''
+
 import numpy as np
 
 
@@ -37,7 +41,7 @@ def main():
     from bhnerf_tpu.geodesics import image_plane_geos
     from bhnerf_tpu.models import NeRFPredictor
     from bhnerf_tpu.train import TrainState, make_optimizer, raytracing_args
-    from bhnerf_tpu.train.step import make_step_fns
+    from bhnerf_tpu.train.step import compact_raytracing_args, make_step_fns
 
     num_alpha = num_beta = 64
     ngeo = 100
@@ -57,10 +61,13 @@ def main():
     rt = raytracing_args(geos, Omega, t_injection,
                          units.Quantity(t_frames[0], 'hr'))
 
-    predictor = NeRFPredictor(scale=fov / 2, rmax=fov / 2, z_width=2.0,
-                              net_depth=4, net_width=128, posenc_deg=3)
+    predictor = NeRFPredictor(scale=fov / 2, rmin=3.0, rmax=fov / 2,
+                              z_width=2.0, net_depth=4, net_width=128,
+                              posenc_deg=3)
     params = predictor.init_params(seed=0)
     state = TrainState.create(params, make_optimizer(50000))
+    # domain compaction + fused Pallas MLP kernel: the optimized TPU path
+    rt = compact_raytracing_args(rt, predictor)
 
     rng = np.random.default_rng(0)
     target = jnp.asarray(rng.random((batch, num_alpha, num_beta),
@@ -70,7 +77,7 @@ def main():
     t_batch = jnp.asarray(t_frames[:batch])
 
     grad_step, _ = make_step_fns(predictor, kind='image', dtype='full',
-                                 donate_state=True)
+                                 donate_state=True, fused=True)
 
     # compile + warmup
     mark('geodesics done, compiling train step')

@@ -102,6 +102,121 @@ def raytracing_args(geos, Omega, t_injection, t_start_obs, J=1.0,
     )
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class CompactRayArgs:
+    """Domain-compacted ray constants.
+
+    Only ~17-25% of ray samples fall inside the supervised emission shell
+    (rmin/rmax/z_width) for production configs; the domain mask is static
+    per model, so in-domain samples are gathered once on host and the
+    whole training pipeline (warp, posenc, MLP, transfer) runs on the
+    compact set. The per-pixel reduction becomes a sorted segment-sum.
+    This is a pure optimization: images match RayTracingArgs bit-for-bit
+    up to float reassociation.
+    """
+
+    coords: Any        # (3, N_pad) in-domain sample positions
+    Omega: Any         # scalar or (N_pad,)
+    weights: Any       # (nstokes, N_pad) = J * g^2 * dtau * Sigma
+    t_geos_rel: Any    # (N_pad,)
+    pixel_ids: Any     # (N_pad,) int32, sorted; padding rows -> npix
+    t_injection: Any   # scalar f32 offset
+    # aux (static)
+    image_shape: tuple = ()
+    polarized: bool = False
+    t_start_obs: float = 0.0
+    t_to_M: float = 1.0
+    t_units: Any = None
+
+    _LEAVES = ('coords', 'Omega', 'weights', 't_geos_rel', 'pixel_ids',
+               't_injection')
+    _AUX = ('image_shape', 'polarized', 't_start_obs', 't_to_M', 't_units')
+
+    def tree_flatten(self):
+        return (tuple(getattr(self, f) for f in self._LEAVES),
+                tuple(getattr(self, f) for f in self._AUX))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def num_stokes(self):
+        return np.shape(self.weights)[0]
+
+    @property
+    def npix(self):
+        return int(np.prod(self.image_shape))
+
+    def frame_times_M(self, t_frames):
+        return (jnp.asarray(t_frames) - self.t_start_obs) * self.t_to_M
+
+
+def compact_raytracing_args(rt: RayTracingArgs, predictor,
+                            tile=1024) -> CompactRayArgs:
+    """Gather the in-domain subset of a RayTracingArgs (host-side, once).
+
+    predictor supplies rmin/rmax/z_width; J/g/dtau/Sigma fold into a
+    single per-sample weight per Stokes component.
+    """
+    coords = np.asarray(rt.coords)          # (3, na, nb, ngeo)
+    na, nb, ngeo = coords.shape[1:]
+    r_sq = (coords ** 2).sum(axis=0)
+    domain = np.ones_like(r_sq, dtype=bool)
+    if predictor.rmin > 0:
+        domain &= r_sq >= predictor.rmin ** 2
+    if np.isfinite(predictor.rmax):
+        domain &= r_sq <= predictor.rmax ** 2
+    if np.isfinite(predictor.z_width):
+        domain &= np.abs(coords[2]) <= predictor.z_width
+
+    flat_idx = np.flatnonzero(domain.reshape(na * nb, ngeo).reshape(-1))
+    pixel_ids = flat_idx // ngeo
+    n_eff = flat_idx.size
+    n_pad = (n_eff + tile - 1) // tile * tile
+
+    def gather(x, fill=0.0):
+        x = np.asarray(x).reshape(-1)[flat_idx]
+        return np.concatenate(
+            [x, np.full(n_pad - n_eff, fill, x.dtype)])
+
+    w = (np.asarray(rt.g) ** 2 * np.asarray(rt.dtau)
+         * np.asarray(rt.Sigma)).reshape(-1)[flat_idx]
+    J = rt.J
+    polarized = not np.isscalar(J)
+    if polarized:
+        W = np.asarray(J).reshape(np.shape(J)[0], -1)[:, flat_idx] * w
+    else:
+        W = (w * float(J))[None]
+    W = np.concatenate(
+        [W, np.zeros((W.shape[0], n_pad - n_eff), W.dtype)], axis=1)
+
+    Omega = rt.Omega
+    Omega_c = (Omega if jnp.ndim(Omega) == 0 else
+               jnp.asarray(gather(Omega)))
+
+    coords_c = np.stack([gather(coords[i]) for i in range(3)])
+    pix = np.concatenate([pixel_ids,
+                          np.full(n_pad - n_eff, na * nb, np.int64)])
+
+    return CompactRayArgs(
+        coords=jnp.asarray(coords_c, jnp.float32),
+        Omega=Omega_c,
+        weights=jnp.asarray(W, jnp.float32),
+        # padding gets a far-future-invalid time so it never activates
+        t_geos_rel=jnp.asarray(gather(np.asarray(rt.t_geos_rel),
+                                      fill=-1e30), jnp.float32),
+        pixel_ids=jnp.asarray(pix, jnp.int32),
+        t_injection=rt.t_injection,
+        image_shape=(na, nb),
+        polarized=polarized,
+        t_start_obs=rt.t_start_obs,
+        t_to_M=rt.t_to_M,
+        t_units=rt.t_units,
+    )
+
+
 # ---------------------------------------------------------------------------
 # forward + losses
 # ---------------------------------------------------------------------------
@@ -114,11 +229,67 @@ def predict_emission(params, predictor, t_frames_M, rt: RayTracingArgs):
     return predictor.emission_at(params, warped, valid, rt.coords)
 
 
+def _compact_prediction(params, predictor, t_frames_M, crt: CompactRayArgs,
+                        fused=False):
+    """Image frames from domain-compacted samples: per-sample emission,
+    then a sorted segment-sum over pixel ids."""
+    from bhnerf_tpu import emission as emission_lib
+    warped, valid = emission_lib.velocity_warp_coords(
+        crt.coords, crt.Omega, t_frames_M, 0.0, crt.t_geos_rel,
+        crt.t_injection, t_units=None, return_mask=True)
+    n = crt.coords.shape[-1]
+    t_shape = jnp.shape(t_frames_M)
+    warped = jnp.broadcast_to(warped, (*t_shape, n, 3))
+    valid = jnp.broadcast_to(valid, (*t_shape, n))
+
+    if fused:
+        from bhnerf_tpu.models.fields import posenc
+        from bhnerf_tpu.ops import fused as fused_lib
+        net_input = jnp.where(valid[..., None], warped, 0.0)
+        F = posenc(net_input / predictor.scale, predictor.posenc_deg)
+        feat = F.shape[-1]
+        ntot = int(np.prod(t_shape)) * n
+        cfg = (predictor.net_depth, predictor.net_width, predictor.do_skip)
+        em = fused_lib.fused_mlp_emission(
+            params, F.reshape(ntot, feat),
+            valid.astype(jnp.float32).reshape(ntot, 1), cfg,
+            getattr(predictor, 'compute_dtype', 'float32'))
+        emission = em.reshape(*t_shape, n)
+    else:
+        # domain mask is pre-applied by compaction (and re-masks padding
+        # rows whose coords are 0); only t-validity is dynamic here
+        emission = predictor.emission_at(params, warped, valid, crt.coords)
+
+    npix = crt.npix
+
+    def per_frame(em):
+        contrib = em[None, :] * crt.weights          # (nstokes, N)
+        return jax.vmap(lambda c: jax.ops.segment_sum(
+            c, crt.pixel_ids, num_segments=npix + 1,
+            indices_are_sorted=True)[:npix])(contrib)
+
+    images = jax.vmap(per_frame)(emission.reshape(-1, n))
+    images = images.reshape(*t_shape, crt.num_stokes, *crt.image_shape)
+    if not crt.polarized:
+        images = images[..., 0, :, :]
+    return images
+
+
 def image_plane_prediction(params, predictor, t_frames_M,
-                           rt: RayTracingArgs):
+                           rt, fused=False):
     """Emission -> (polarized) image-plane frames
-    (reference network.py:373-420)."""
-    emission = predict_emission(params, predictor, t_frames_M, rt)
+    (reference network.py:373-420). fused=True routes the NeRF hot path
+    through the Pallas TPU kernel (ops/fused.py); CompactRayArgs inputs
+    dispatch to the domain-compacted pipeline."""
+    if isinstance(rt, CompactRayArgs):
+        return _compact_prediction(params, predictor, t_frames_M, rt,
+                                   fused=fused)
+    if fused:
+        from bhnerf_tpu.ops import fused as fused_lib
+        emission = fused_lib.predict_emission_fused(
+            params, predictor, t_frames_M, rt)
+    else:
+        emission = predict_emission(params, predictor, t_frames_M, rt)
     if not np.isscalar(rt.J):
         J = utils.expand_dims(rt.J, emission.ndim + 1, 0)
         emission = J * utils.expand_dims(emission, emission.ndim + 1, 1)
@@ -127,9 +298,10 @@ def image_plane_prediction(params, predictor, t_frames_M,
 
 
 def loss_fn_image(params, predictor, target, sigma, offset, t_frames_M,
-                  rt, scale, dtype):
+                  rt, scale, dtype, fused=False):
     """Chi-square image/lightcurve loss (reference network.py:422-484)."""
-    images = image_plane_prediction(params, predictor, t_frames_M, rt)
+    images = image_plane_prediction(params, predictor, t_frames_M, rt,
+                                    fused=fused)
     if dtype == 'full':
         loss = jnp.sum(jnp.abs((images - target - offset) / sigma) ** 2)
     elif dtype == 'lc':
@@ -141,13 +313,14 @@ def loss_fn_image(params, predictor, target, sigma, offset, t_frames_M,
 
 
 def loss_fn_eht(params, predictor, target, sigma, A, t_frames_M, rt,
-                scale, dtype):
+                scale, dtype, fused=False):
     """Chi-square losses on interferometric data (network.py:486-564).
 
     A: per-frame DFT matrices, (nt, [pol,] nvis, npix^2). The image ->
     visibility map is a batched matmul — MXU-friendly by construction.
     """
-    images = image_plane_prediction(params, predictor, t_frames_M, rt)
+    images = image_plane_prediction(params, predictor, t_frames_M, rt,
+                                    fused=fused)
     image_vectors = images.reshape(*images.shape[:-2], -1, 1)
     image_vectors = utils.expand_dims(image_vectors, A.ndim, axis=-3)
     visibilities = jnp.squeeze(jnp.matmul(A, image_vectors), -1)
@@ -167,19 +340,21 @@ def loss_fn_eht(params, predictor, target, sigma, A, t_frames_M, rt,
 # ---------------------------------------------------------------------------
 # jitted steps
 # ---------------------------------------------------------------------------
-def make_step_fns(predictor, kind='image', dtype='full', donate_state=False):
+def make_step_fns(predictor, kind='image', dtype='full', donate_state=False,
+                  fused=False):
     """Build (grad_step, test_step), each jit'd once per (predictor
     config, loss kind). Mesh-parallelism comes from input shardings.
 
     kind='image': batch args are (target, sigma, offset, t_frames).
     kind='eht':   batch args are (target, sigma, A, t_frames).
+    fused=True:   NeRF hot path through the Pallas TPU kernel.
     """
     loss_fn = loss_fn_image if kind == 'image' else loss_fn_eht
 
     def compute_loss(params, target, sigma, third, t_frames, rt, scale):
         t_frames_M = rt.frame_times_M(t_frames)
         return loss_fn(params, predictor, target, sigma, third, t_frames_M,
-                       rt, scale, dtype)
+                       rt, scale, dtype, fused=fused)
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate_state else ())
     def grad_step(state, target, sigma, third, t_frames, rt, scale):

@@ -1,0 +1,98 @@
+"""Domain-compaction correctness: compact pipeline must reproduce the
+dense pipeline (images and parameter gradients)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bhnerf_tpu import units
+from bhnerf_tpu.geodesics import image_plane_geos
+from bhnerf_tpu.models import NeRFPredictor
+from bhnerf_tpu.ops import gr
+from bhnerf_tpu.train import raytracing_args
+from bhnerf_tpu.train.step import (compact_raytracing_args,
+                                   image_plane_prediction)
+
+
+@pytest.fixture(scope='module')
+def setup():
+    geos = image_plane_geos(spin=0.0, inclination=np.deg2rad(60),
+                            alpha_range=(-8, 8), beta_range=(-8, 8),
+                            ngeo=32, num_alpha=16, num_beta=16,
+                            n_fine=2048)
+    Omega = geos.keplerian_omega()
+    umu = gr.azimuthal_velocity_vector(geos, Omega)
+    g = gr.doppler_factor(geos, umu)
+    b = gr.magnetic_field_fluid_frame(geos, umu, 0, 1, 0)
+    J = np.nan_to_num(np.asarray(gr.parallel_transport(
+        geos, umu, g, b, Q_frac=0.5, V_frac=0.0)), nan=0.0)
+    rt = raytracing_args(geos, Omega, -float(geos.r_o + 4),
+                         units.Quantity(0.0, 'hr'), J=J)
+    rt_scalar = raytracing_args(geos, Omega, -float(geos.r_o + 4),
+                                units.Quantity(0.0, 'hr'))
+    predictor = NeRFPredictor(scale=8.0, rmin=3.0, rmax=8.0, z_width=2.0,
+                              net_depth=3, net_width=32)
+    params = predictor.init_params(seed=0)
+    t_frames_M = jnp.asarray([0.0, 50.0, 120.0], jnp.float32)
+    return predictor, params, rt, rt_scalar, t_frames_M
+
+
+def test_compact_matches_dense_polarized(setup):
+    predictor, params, rt, _, t_frames_M = setup
+    crt = compact_raytracing_args(rt, predictor)
+    dense = np.asarray(image_plane_prediction(params, predictor,
+                                              t_frames_M, rt))
+    compact = np.asarray(image_plane_prediction(params, predictor,
+                                                t_frames_M, crt))
+    assert compact.shape == dense.shape == (3, 3, 16, 16)
+    scale = np.abs(dense).max()
+    np.testing.assert_allclose(compact / scale, dense / scale, atol=2e-5)
+    # compaction keeps only the in-domain fraction
+    assert crt.coords.shape[-1] < 0.6 * 16 * 16 * 32
+
+
+def test_compact_matches_dense_unpolarized(setup):
+    predictor, params, _, rt_scalar, t_frames_M = setup
+    crt = compact_raytracing_args(rt_scalar, predictor)
+    dense = np.asarray(image_plane_prediction(params, predictor,
+                                              t_frames_M, rt_scalar))
+    compact = np.asarray(image_plane_prediction(params, predictor,
+                                                t_frames_M, crt))
+    assert compact.shape == dense.shape == (3, 16, 16)
+    scale = np.abs(dense).max() + 1e-12
+    np.testing.assert_allclose(compact / scale, dense / scale, atol=2e-5)
+
+
+def test_compact_gradients_match(setup):
+    predictor, params, rt, _, t_frames_M = setup
+    crt = compact_raytracing_args(rt, predictor)
+    target = jnp.asarray(np.random.default_rng(0).random((3, 3, 16, 16)),
+                         jnp.float32)
+
+    def loss(p, args):
+        img = image_plane_prediction(p, predictor, t_frames_M, args)
+        return jnp.sum((img - target) ** 2)
+
+    l_d, g_d = jax.value_and_grad(loss)(params, rt)
+    l_c, g_c = jax.value_and_grad(loss)(params, crt)
+    np.testing.assert_allclose(float(l_c), float(l_d), rtol=1e-4)
+
+    def compare(path, a, b):
+        scale = np.abs(np.asarray(a)).max() + 1e-8
+        np.testing.assert_allclose(np.asarray(b) / scale,
+                                   np.asarray(a) / scale, atol=1e-4,
+                                   err_msg=str(path))
+
+    jax.tree_util.tree_map_with_path(compare, g_d, g_c)
+
+
+def test_compact_fused_matches(setup):
+    predictor, params, rt, _, t_frames_M = setup
+    crt = compact_raytracing_args(rt, predictor)
+    ref = np.asarray(image_plane_prediction(params, predictor,
+                                            t_frames_M, crt))
+    out = np.asarray(image_plane_prediction(params, predictor,
+                                            t_frames_M, crt, fused=True))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(out / scale, ref / scale, atol=2e-5)

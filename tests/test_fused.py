@@ -1,0 +1,80 @@
+"""Fused Pallas render kernel vs the reference XLA path.
+
+Runs in interpret mode on the CPU mesh; the same kernel code compiles to
+Mosaic on TPU (exercised by bench.py).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bhnerf_tpu import constants, emission, units
+from bhnerf_tpu.geodesics import image_plane_geos
+from bhnerf_tpu.models import NeRFPredictor
+from bhnerf_tpu.ops import fused
+from bhnerf_tpu.train import raytracing_args
+from bhnerf_tpu.train.step import predict_emission
+
+
+@pytest.fixture(scope='module')
+def setup():
+    fov = 16.0
+    geos = image_plane_geos(spin=0.0, inclination=np.deg2rad(60),
+                            alpha_range=(-8, 8), beta_range=(-8, 8),
+                            ngeo=16, num_alpha=8, num_beta=8, n_fine=1024)
+    rt = raytracing_args(geos, geos.keplerian_omega(),
+                         -float(geos.r_o + 4), units.Quantity(0.0, 'hr'))
+    predictor = NeRFPredictor(scale=8.0, rmin=3.0, rmax=8.0, z_width=2.0,
+                              net_depth=4, net_width=32, posenc_deg=3)
+    params = predictor.init_params(seed=0)
+    t_frames_M = jnp.asarray([0.0, 40.0, 90.0], jnp.float32)
+    return predictor, params, rt, t_frames_M
+
+
+def test_fused_forward_matches_xla(setup):
+    predictor, params, rt, t_frames_M = setup
+    ref = np.asarray(predict_emission(params, predictor, t_frames_M, rt))
+    out = np.asarray(fused.predict_emission_fused(params, predictor,
+                                                  t_frames_M, rt))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=2e-6, rtol=1e-4)
+
+
+def test_fused_gradients_match_xla(setup):
+    predictor, params, rt, t_frames_M = setup
+    target = jnp.asarray(
+        np.random.default_rng(0).random((3, 8, 8, 16)), jnp.float32)
+
+    def loss_ref(p):
+        em = predict_emission(p, predictor, t_frames_M, rt)
+        return jnp.sum((em - target) ** 2)
+
+    def loss_fused(p):
+        em = fused.predict_emission_fused(p, predictor, t_frames_M, rt)
+        return jnp.sum((em - target) ** 2)
+
+    l_ref, g_ref = jax.value_and_grad(loss_ref)(params)
+    l_fus, g_fus = jax.value_and_grad(loss_fused)(params)
+    np.testing.assert_allclose(float(l_fus), float(l_ref), rtol=1e-5)
+
+    def compare(path, a, b):
+        scale = np.abs(np.asarray(a)).max() + 1e-8
+        np.testing.assert_allclose(np.asarray(b) / scale,
+                                   np.asarray(a) / scale, atol=5e-5,
+                                   err_msg=str(path))
+
+    jax.tree_util.tree_map_with_path(compare, g_ref, g_fus)
+
+
+def test_fused_no_skip_depth2(setup):
+    """Exercise a non-default architecture (no skip, depth 2)."""
+    _, _, rt, t_frames_M = setup
+    predictor = NeRFPredictor(scale=8.0, rmax=8.0, z_width=2.0,
+                              net_depth=2, net_width=16, posenc_deg=2,
+                              do_skip=False)
+    params = predictor.init_params(seed=2)
+    ref = np.asarray(predict_emission(params, predictor, t_frames_M, rt))
+    out = np.asarray(fused.predict_emission_fused(params, predictor,
+                                                  t_frames_M, rt))
+    np.testing.assert_allclose(out, ref, atol=2e-6, rtol=1e-4)
