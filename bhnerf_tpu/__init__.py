@@ -16,3 +16,7 @@ from bhnerf_tpu import observation
 from bhnerf_tpu import alma
 from bhnerf_tpu import config
 from bhnerf_tpu import visualization
+# reference-API facades (bhnerf.kgeo / bhnerf.network / bhnerf.optimization)
+from bhnerf_tpu import kgeo
+from bhnerf_tpu import network
+from bhnerf_tpu import optimization
