@@ -307,16 +307,21 @@ def normalize_stokes(movie, I_flux, P_flux, V_flux=None):
 
 def rotate_evpa(stokes, angle, axis=0):
     """Rotate the EVPA of a Stokes vector by `angle`
-    (reference emission.py:395-407)."""
+    (reference emission.py:395-407). Real arithmetic: the TPU backend
+    has no complex dtypes, and e^{2i angle}(Q + iU) is just a rotation."""
     stokes = jnp.asarray(stokes)
     n = stokes.shape[axis]
-    rot = jnp.exp(2j * angle)
+    c, s = jnp.cos(2 * angle), jnp.sin(2 * angle)
+
+    def rot(q, u):
+        return c * q - s * u, s * q + c * u
+
     if n == 2:
-        p = rot * (jnp.take(stokes, 0, axis) + 1j * jnp.take(stokes, 1, axis))
-        parts = [p.real, p.imag]
+        q, u = rot(jnp.take(stokes, 0, axis), jnp.take(stokes, 1, axis))
+        parts = [q, u]
     elif n in (3, 4):
-        p = rot * (jnp.take(stokes, 1, axis) + 1j * jnp.take(stokes, 2, axis))
-        parts = [jnp.take(stokes, 0, axis), p.real, p.imag]
+        q, u = rot(jnp.take(stokes, 1, axis), jnp.take(stokes, 2, axis))
+        parts = [jnp.take(stokes, 0, axis), q, u]
         if n == 4:
             parts.append(jnp.take(stokes, 3, axis))
     else:

@@ -418,6 +418,38 @@ def padded_obs(obs, field, fill_value=np.nan):
     return out
 
 
+@dataclasses.dataclass
+class StokesMovie:
+    """Lightweight Stokes movie container (ehtim.Movie stand-in used by
+    the reference export path, observation.py:209-219). frames are
+    (nt, nstokes, ny, nx) in Jy/pixel."""
+
+    frames: np.ndarray
+    times: np.ndarray       # UT hours
+    psize: float            # radians / pixel
+    ra: float = SGRA_RA
+    dec: float = SGRA_DEC
+    rf: float = SGRA_RF
+    mjd: int = 57850
+    pol_names: tuple = ('I', 'Q', 'U', 'V')
+
+    def observe_same(self, obs, **kwargs):
+        return observe_same(self.frames, self.times, self.psize, obs,
+                            **kwargs)
+
+
+def stokes_array_to_ehtim(movie, times, psize, ra=SGRA_RA, dec=SGRA_DEC,
+                          rf=SGRA_RF, mjd=57850):
+    """(nt, nstokes, ny, nx) array -> StokesMovie
+    (reference observation.py:209-219; ehtim is not in the TPU image, so
+    the returned container implements the observe_same surface natively).
+    """
+    movie = np.asarray(movie)
+    if movie.ndim != 4:
+        raise ValueError(f'movie ndim={movie.ndim} not supported')
+    return StokesMovie(movie, np.asarray(times), psize, ra, dec, rf, mjd)
+
+
 def plot_uv_coverage(obs, ax=None, fontsize=14, s=None, cmap='rainbow',
                      add_conjugate=True, xlim=(-9.5, 9.5),
                      ylim=(-9.5, 9.5), shift_initial_time=True, cbar=True,

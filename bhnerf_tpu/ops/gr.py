@@ -254,7 +254,12 @@ def _parallel_transport_core(geos, e_mu, g, b, Q_frac, V_frac, spectral_index):
     Q = Q_frac * I
     U = jnp.zeros_like(Q)
 
-    # Penrose-Walker constant kappa -> screen rotation chi2 (Himwich2020)
+    # Penrose-Walker constant kappa -> screen rotation chi2 (Himwich2020).
+    # All in real arithmetic (the TPU backend has no complex dtypes):
+    # kappa = (r - i a cos(th)) (A - i B); the reference's
+    # angle(((beta + i mu) conj(kappa)) / ((beta - i mu) kappa)) is
+    # angle(z / conj(z)) = 2 angle(z) for z = (beta + i mu) conj(kappa),
+    # and only cos/sin of chi2 enter the Stokes rotation.
     gmunu = inv_metric_components(r, theta, spin, geos.M)
     kmu = raise_or_lower_indices(gmunu, k_mu)
     sin_t = jnp.sin(theta)
@@ -262,12 +267,15 @@ def _parallel_transport_core(geos, e_mu, g, b, Q_frac, V_frac, spectral_index):
          + spin * sin_t**2 * (kmu[..., 1] * fph - kmu[..., 3] * fr))
     B = (((r**2 + spin**2) * (kmu[..., 3] * fth - kmu[..., 2] * fph)
           - spin * (kmu[..., 0] * fth - kmu[..., 2] * ft)) * sin_t)
-    kappa = (r - 1j * spin * jnp.cos(theta)) * (A - 1j * B)
+    ac = spin * jnp.cos(theta)
+    kappa_re = r * A - ac * B
+    kappa_im = -(r * B + ac * A)
     alpha_px = jnp.asarray(geos.alpha)[..., None]
     beta_px = jnp.asarray(geos.beta)[..., None]
     mu_s = -(alpha_px + spin * np.sin(geos.inc))
-    chi2 = jnp.angle(((beta_px + 1j * mu_s) * jnp.conj(kappa))
-                     / ((beta_px - 1j * mu_s) * kappa))
+    z_re = beta_px * kappa_re + mu_s * kappa_im
+    z_im = mu_s * kappa_re - beta_px * kappa_im
+    chi2 = 2.0 * jnp.arctan2(z_im, z_re)
 
     J_q = jnp.cos(chi2) * Q - jnp.sin(chi2) * U
     J_u = jnp.sin(chi2) * Q + jnp.cos(chi2) * U

@@ -189,6 +189,10 @@ class TrainStep:
             dtype = getattr(chisqdata, 'dtype', dtype)
         target, sigma, A = obs.chisqdata(
             t_frames, dtype, image_fov, image_size, pol=pol)
+        # split complex operators into real/imag (the TPU backend has no
+        # complex dtypes; split matmuls are MXU-native)
+        target, sigma, A = step_lib.to_real_measurements(
+            dtype, target, sigma, A)
         args = TemporalBatchedArgs(t_frames, [target, sigma, A], mesh=mesh)
         grad_fn, test_fn = step_lib.make_step_fns(predictor, kind='eht',
                                                   dtype=dtype)

