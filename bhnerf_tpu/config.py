@@ -63,6 +63,15 @@ class HParams:
     seed: int = 1
     lr_inject: Optional[float] = None
 
+    def __post_init__(self):
+        # YAML 1.1 parses exponent-only literals like `1e-4` as strings
+        self.num_iters = int(self.num_iters)
+        self.lr_init = float(self.lr_init)
+        self.lr_final = float(self.lr_final)
+        self.seed = int(self.seed)
+        if self.lr_inject is not None:
+            self.lr_inject = float(self.lr_inject)
+
     def asdict(self):
         return dataclasses.asdict(self)
 
@@ -78,6 +87,14 @@ class OptimizationConfig:
     batchsize: int = 6
     sigma: Any = 1.0
     hparams: HParams = dataclasses.field(default_factory=HParams)
+
+    def __post_init__(self):
+        self.train_split = float(self.train_split)
+        self.batchsize = int(self.batchsize)
+        if isinstance(self.sigma, str):
+            self.sigma = float(self.sigma)
+        elif isinstance(self.sigma, (list, tuple)):
+            self.sigma = [float(s) for s in self.sigma]
 
 
 @dataclasses.dataclass

@@ -7,6 +7,9 @@ checkpoint-based sweep resume.
 """
 import argparse
 import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 import warnings
 from pathlib import Path
 

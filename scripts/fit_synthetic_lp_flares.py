@@ -6,6 +6,9 @@ train/validation split, tensorboard + checkpoints, skip-if-exists resume.
 """
 import argparse
 import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 import warnings
 from pathlib import Path
 

@@ -11,6 +11,9 @@ Example:
 """
 import argparse
 import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 from pathlib import Path
 
 import numpy as np

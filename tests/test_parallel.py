@@ -1,0 +1,79 @@
+"""Parallelism tests: frame-DP, ray sharding, compact-sample sharding."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from bhnerf_tpu import units
+from bhnerf_tpu.geodesics import image_plane_geos
+from bhnerf_tpu.models import NeRFPredictor
+from bhnerf_tpu.parallel import create_mesh
+from bhnerf_tpu.parallel.mesh import ray_sharding_spec
+from bhnerf_tpu.train import raytracing_args
+from bhnerf_tpu.train.step import (compact_raytracing_args,
+                                   image_plane_prediction)
+
+
+@pytest.fixture(scope='module')
+def setup():
+    geos = image_plane_geos(spin=0.0, inclination=np.deg2rad(60),
+                            alpha_range=(-8, 8), beta_range=(-8, 8),
+                            ngeo=32, num_alpha=16, num_beta=16,
+                            n_fine=2048)
+    rt = raytracing_args(geos, geos.keplerian_omega(),
+                         -float(geos.r_o + 4), units.Quantity(0.0, 'hr'))
+    predictor = NeRFPredictor(scale=8.0, rmin=3.0, rmax=8.0, z_width=2.0,
+                              net_depth=2, net_width=16)
+    params = predictor.init_params(seed=0)
+    t_frames_M = jnp.asarray([0.0, 50.0], jnp.float32)
+    return predictor, params, rt, t_frames_M
+
+
+def test_ray_axis_sharding_matches(setup):
+    """Dense pipeline with the image rows sharded over the 'ray' axis
+    must reproduce the unsharded result."""
+    predictor, params, rt, t_frames_M = setup
+    ref = np.asarray(image_plane_prediction(params, predictor, t_frames_M,
+                                            rt))
+
+    mesh = create_mesh((2, 4))
+
+    def shard_rt(x):
+        x = jnp.asarray(x)
+        if x.ndim >= 3:
+            axis = 1 if x.ndim >= 4 else 0
+            return jax.device_put(x, ray_sharding_spec(x.ndim, mesh, axis))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    rt_sharded = jax.tree_util.tree_map(shard_rt, rt)
+    out = np.asarray(jax.jit(image_plane_prediction,
+                             static_argnums=(1,))(params, predictor,
+                                                  t_frames_M, rt_sharded))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=1e-7)
+
+
+def test_compact_sample_sharding_matches(setup):
+    """Compact pipeline with the flat sample axis sharded over 'ray'
+    (sequence-parallel analog): segment-sum spans shards via the XLA
+    partitioner."""
+    predictor, params, rt, t_frames_M = setup
+    crt = compact_raytracing_args(rt, predictor)
+    ref = np.asarray(image_plane_prediction(params, predictor, t_frames_M,
+                                            crt))
+
+    mesh = create_mesh((2, 4))
+
+    def shard_crt(x):
+        x = jnp.asarray(x)
+        if x.ndim == 0:
+            return jax.device_put(x, NamedSharding(mesh, P()))
+        return jax.device_put(x, ray_sharding_spec(x.ndim, mesh,
+                                                   x.ndim - 1))
+
+    crt_sharded = jax.tree_util.tree_map(shard_crt, crt)
+    out = np.asarray(jax.jit(image_plane_prediction,
+                             static_argnums=(1,))(params, predictor,
+                                                  t_frames_M, crt_sharded))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=1e-7)
