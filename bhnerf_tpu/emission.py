@@ -79,21 +79,13 @@ def equatorial_ring(geos, mbar):
     """Unit emission at the mbar-th equatorial crossing of each ray
     (reference emission.py:119-141, which uses kgeo.equatorial_lensing).
 
-    Here the crossing is found directly on the traced rays: the mbar-th
-    sign change of cos(theta) along each geodesic.
+    Crossing detection lives in geodesics.equatorial.crossing_index.
     """
-    ctheta = np.cos(geos.theta)
-    crossings = np.signbit(ctheta[..., 1:]) != np.signbit(ctheta[..., :-1])
-    order = np.cumsum(crossings, axis=-1)  # crossing count after sample i
-    # index of first sample past the (mbar+1)-th crossing
-    is_mth = (order == mbar + 1) & crossings
+    from bhnerf_tpu.geodesics import equatorial
+    found, _, idx_nearest = equatorial.crossing_index(geos, mbar)
     emission = np.zeros_like(geos.r)
-    idx = np.argmax(is_mth, axis=-1)
-    found = is_mth.any(axis=-1)
-    # pick the sample (of i, i+1) closest to the actual crossing
-    it = np.indices(idx.shape)
-    frac = np.abs(ctheta[(*it, idx)]) > np.abs(ctheta[(*it, idx + 1)])
-    emission[(*it, np.where(frac, idx + 1, idx))] = np.where(found, 1.0, 0.0)
+    it = np.indices(idx_nearest.shape)
+    emission[(*it, idx_nearest)] = np.where(found, 1.0, 0.0)
     return emission
 
 
@@ -190,19 +182,32 @@ def interpolate_coords(emission, coords):
     return map_coordinates(data, list(image_coords), order=1, cval=0.0)
 
 
+def domain_mask(coords, rmin=0.0, rmax=np.inf, z_width=np.inf):
+    """Boolean mask of the supervised emission shell: rmin <= r <= rmax
+    and |z| <= z_width. The single source of truth for the domain
+    predicate shared by the dense, fused, and compacted pipelines.
+
+    coords: stacked [x, y, z] with axis 0 the component axis.
+    """
+    coords = jnp.asarray(coords)
+    r_sq = jnp.sum(jnp.square(coords), axis=0)
+    mask = jnp.ones_like(r_sq, dtype=bool)
+    if rmin > 0:
+        mask &= r_sq >= rmin**2
+    if np.isfinite(rmax):
+        mask &= r_sq <= rmax**2
+    if np.isfinite(z_width):
+        mask &= jnp.abs(coords[2]) <= z_width
+    return mask
+
+
 def fill_unsupervised_emission(emission, coords, rmin=0.0, rmax=np.inf,
                                z_width=2.0, fill_value=0.0):
     """Zero emission outside the supervised shell
     (reference emission.py:343-374). coords: stacked [x, y, z], axis 0."""
-    coords = jnp.asarray(coords)
-    r_sq = jnp.sum(jnp.square(coords), axis=0)
-    fill = jnp.full_like(emission, fill_value)
-    emission = jnp.where(r_sq < rmin**2, fill, emission)
-    if np.isfinite(rmax):
-        emission = jnp.where(r_sq > rmax**2, fill, emission)
-    if np.isfinite(z_width):
-        emission = jnp.where(jnp.abs(coords[2]) > z_width, fill, emission)
-    return emission
+    keep = domain_mask(coords, rmin, rmax, z_width)
+    return jnp.where(keep, emission,
+                     jnp.full_like(emission, fill_value))
 
 
 # ---------------------------------------------------------------------------

@@ -16,25 +16,33 @@ import numpy as np
 from bhnerf_tpu.geodesics import dataset as dataset_lib
 
 
-def _crossings(geos):
-    """(found, index, frac) of the mbar-th equatorial crossings.
+def crossing_index(geos, mbar):
+    """Locate the (mbar+1)-th equatorial crossing of each ray.
 
-    Returns per-(ray, crossing-order) arrays from dense samples.
+    The single source of truth for equatorial-crossing detection (also
+    used by emission.equatorial_ring and the Gelles2021 example).
+
+    Returns (found, idx, idx_nearest): `idx` is the sample before the
+    crossing (crossing lies in [idx, idx+1]); `idx_nearest` is whichever
+    of the two samples has the smaller |cos(theta)|.
     """
     ct = np.cos(geos.theta)
     sign_change = np.signbit(ct[..., 1:]) != np.signbit(ct[..., :-1])
     order = np.cumsum(sign_change, axis=-1)
-    return sign_change, order
+    is_mth = (order == mbar + 1) & sign_change
+    found = is_mth.any(axis=-1)
+    idx = np.argmax(is_mth, axis=-1)
+    it = np.indices(idx.shape)
+    nearer_next = np.abs(ct[(*it, idx)]) > np.abs(ct[(*it, idx + 1)])
+    idx_nearest = np.where(nearer_next, idx + 1, idx)
+    return found, idx, idx_nearest
 
 
 def equatorial_crossing_quantities(geos, mbar):
     """Interpolated (r, mino, t, phi) of the (mbar+1)-th equatorial
     crossing of each ray; NaN where the ray has fewer crossings."""
     ct = np.cos(geos.theta)
-    sign_change, order = _crossings(geos)
-    is_mth = (order == mbar + 1) & sign_change
-    found = is_mth.any(axis=-1)
-    idx = np.argmax(is_mth, axis=-1)
+    found, idx, _ = crossing_index(geos, mbar)
     it = np.indices(idx.shape)
 
     # linear interpolation in cos(theta) across the crossing interval:

@@ -201,8 +201,10 @@ class Observation:
                     A[f, k, :n] = ft
             if dtype == 'amp':
                 target = np.abs(target)
-            target, sigma, A = np.squeeze(target), np.squeeze(sigma), \
-                np.squeeze(A)
+            if len(pols) == 1:
+                # drop only the pol axis — never nt/nvis (nt=1 or nvis=1
+                # must keep the documented (nt, ..., nvis) contract)
+                target, sigma, A = target[:, 0], sigma[:, 0], A[:, 0]
             return target, sigma, A
 
         if dtype == 'cphase':

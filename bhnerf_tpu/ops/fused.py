@@ -215,6 +215,10 @@ def fused_mlp_emission(params, F, mask, cfg, compute_dtype='float32'):
     F: (N, feat) posenc features (N divisible by TILE_N); mask: (N, 1).
     Returns (N, 1). Gradients flow to `params` only.
     """
+    if F.shape[0] % TILE_N:
+        raise ValueError(
+            f'sample count {F.shape[0]} must be a multiple of TILE_N '
+            f'({TILE_N}); pad the inputs (see predict_emission_fused)')
     packed = pack_params(params, cfg[0])
     return _fused_mlp_fwd(F, mask, packed, cfg, compute_dtype)
 
@@ -254,16 +258,9 @@ def predict_emission_fused(params, predictor, t_frames_M, rt):
     warped = jnp.broadcast_to(warped, (*full_shape, 3))
     valid = jnp.broadcast_to(valid, full_shape)
 
-    # combined validity + supervision-domain mask (matches
-    # fill_unsupervised_emission semantics on the unwarped coords)
-    r_sq = jnp.sum(jnp.square(rt.coords), axis=0)
-    domain = jnp.ones_like(r_sq, dtype=bool)
-    if predictor.rmin > 0:
-        domain &= r_sq >= predictor.rmin ** 2
-    if np.isfinite(predictor.rmax):
-        domain &= r_sq <= predictor.rmax ** 2
-    if np.isfinite(predictor.z_width):
-        domain &= jnp.abs(rt.coords[2]) <= predictor.z_width
+    # combined validity + supervision-domain mask (unwarped coords)
+    domain = emission_lib.domain_mask(rt.coords, predictor.rmin,
+                                      predictor.rmax, predictor.z_width)
     mask = (valid & domain).astype(jnp.float32)
 
     net_input = jnp.where(valid[..., None], warped, 0.0)

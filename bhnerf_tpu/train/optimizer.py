@@ -25,22 +25,17 @@ def total_movie_loss(batchsize, state, train_step, raytracing_args,
     indices = list(np.array_split(np.arange(0, nt_tilde),
                                   max(nt_tilde // batchsize, 1)))
     if nt_tilde < nt:
-        # pad the tail chunk to batchsize by wrapping (reference pads to a
-        # device-count multiple; batchsize keeps jit shapes unique)
-        tail = np.arange(nt_tilde, nt_tilde + batchsize) % nt
-        indices.append(tail)
+        # evaluate the tail with its exact frame set: a wrap-padded chunk
+        # would need a per-frame loss correction that is only valid when
+        # all frames contribute equally (one extra jit shape, cached)
+        indices.append(np.arange(nt_tilde, nt))
 
     frames, total_loss = [], 0.0
-    for k, inds in enumerate(indices):
+    for inds in indices:
         if inds.size == 0:
             continue
         loss, _, images = train_step(state, raytracing_args, inds,
                                      update_state=False)
-        if k == len(indices) - 1 and nt_tilde < nt:
-            n_real = nt - nt_tilde
-            images = images[:n_real]
-            # correct the double-counted wrapped frames' loss contribution
-            loss = loss * (n_real / batchsize)
         total_loss += float(np.sum(np.asarray(loss)))
         if return_frames:
             frames.append(np.asarray(images))
@@ -150,10 +145,11 @@ class TrainStep:
                 batch = self.args[i][indices]
                 loss, state, images = fns[i](state, *batch, rt,
                                              self.scale[i])
-                total_loss = total_loss + np.asarray(loss) / len(
-                    raytracing_args)
-                total_images = total_images + np.asarray(images) / len(
-                    raytracing_args)
+                # device-side accumulation: no host sync per step (the
+                # reference's pmap outputs forced one; log fns pull
+                # values only at their log_period)
+                total_loss = total_loss + loss / len(raytracing_args)
+                total_images = total_images + images / len(raytracing_args)
         return total_loss, state, total_images
 
     def __add__(self, other):

@@ -154,22 +154,22 @@ class CompactRayArgs:
 
 
 def compact_raytracing_args(rt: RayTracingArgs, predictor,
-                            tile=1024) -> CompactRayArgs:
+                            tile=None) -> CompactRayArgs:
     """Gather the in-domain subset of a RayTracingArgs (host-side, once).
 
     predictor supplies rmin/rmax/z_width; J/g/dtau/Sigma fold into a
-    single per-sample weight per Stokes component.
+    single per-sample weight per Stokes component. The sample count is
+    padded to the fused kernel's tile size so both pipelines accept the
+    result.
     """
+    if tile is None:
+        from bhnerf_tpu.ops import fused as fused_lib
+        tile = fused_lib.TILE_N
+    from bhnerf_tpu import emission as emission_lib
     coords = np.asarray(rt.coords)          # (3, na, nb, ngeo)
     na, nb, ngeo = coords.shape[1:]
-    r_sq = (coords ** 2).sum(axis=0)
-    domain = np.ones_like(r_sq, dtype=bool)
-    if predictor.rmin > 0:
-        domain &= r_sq >= predictor.rmin ** 2
-    if np.isfinite(predictor.rmax):
-        domain &= r_sq <= predictor.rmax ** 2
-    if np.isfinite(predictor.z_width):
-        domain &= np.abs(coords[2]) <= predictor.z_width
+    domain = np.asarray(emission_lib.domain_mask(
+        coords, predictor.rmin, predictor.rmax, predictor.z_width))
 
     flat_idx = np.flatnonzero(domain.reshape(na * nb, ngeo).reshape(-1))
     pixel_ids = flat_idx // ngeo
@@ -377,10 +377,15 @@ def loss_fn_eht(params, predictor, target, sigma, A, t_frames_M, rt,
 # ---------------------------------------------------------------------------
 # jitted steps
 # ---------------------------------------------------------------------------
+@functools.lru_cache(maxsize=64)
 def make_step_fns(predictor, kind='image', dtype='full', donate_state=False,
                   fused=False):
     """Build (grad_step, test_step), each jit'd once per (predictor
     config, loss kind). Mesh-parallelism comes from input shardings.
+
+    Cached on the (hashable, frozen) predictor + flags so repeated
+    construction — e.g. alma.chi2_df scanning dozens of checkpoints —
+    reuses the same jit caches instead of recompiling per scan entry.
 
     kind='image': batch args are (target, sigma, offset, t_frames).
     kind='eht':   batch args are (target, sigma, A, t_frames).

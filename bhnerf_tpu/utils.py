@@ -57,8 +57,12 @@ class Grid3D:
         return cls(children[0], aux[0], aux[1])
 
     @property
+    def spatial_ndim(self):
+        return len(self.start)
+
+    @property
     def spatial_shape(self):
-        return self.data.shape[-3:]
+        return self.data.shape[-self.spatial_ndim:]
 
     @property
     def fov(self):
@@ -81,12 +85,13 @@ class Grid3D:
         return self.coord_1d(2)
 
     def meshgrid(self):
-        return np.meshgrid(self.x, self.y, self.z, indexing='ij')
+        axes = [self.coord_1d(i) for i in range(self.spatial_ndim)]
+        return np.meshgrid(*axes, indexing='ij')
 
     def integrate(self):
         """Volume integral via the trapezoid rule (xr .integrate parity)."""
         out = self.data
-        for axis in (2, 1, 0):  # peel z, then y, then x off the tail
+        for axis in reversed(range(self.spatial_ndim)):
             coord = jnp.asarray(self.coord_1d(axis))
             out = jnp.trapezoid(out, coord, axis=-1)
         return out
@@ -214,13 +219,15 @@ def anti_aliasing_filter(image_plane, window):
     return jnp.fft.ifftshift(jnp.fft.ifft2(fourier), axes=(-2, -1)).real
 
 
-def gaussian_random_field(key, shape, slope=3.0, std=1.0):
+def gaussian_random_field(key, shape, slope=3.0, std=1.0,
+                          temporal_corr=0.9):
     """Isotropic power-law Gaussian random field (the accretion-disk GRF
     driver of the reference's Synthetic-lightcurves notebooks, which used
-    an external generator). P(k) ~ k^-slope; zero-mean, unit-ish std.
+    an external generator). P(k) ~ k^-slope; zero-mean, unit std.
 
-    key: jax PRNGKey; shape: 2D (ny, nx) or 3D (nt, ny, nx) for a movie
-    correlated along leading axis via spectral phase drift.
+    key: jax PRNGKey; shape: 2D (ny, nx), or 3D (nt, ny, nx) for a movie
+    whose spectral noise follows an AR(1) process with coefficient
+    `temporal_corr` along the leading axis (stationary in time).
     """
     import jax.random as jr
     shape = tuple(shape)
@@ -231,15 +238,25 @@ def gaussian_random_field(key, shape, slope=3.0, std=1.0):
     knorm[0, 0] = np.inf
     amplitude = jnp.asarray(knorm ** (-slope / 2.0))
 
-    def one(key):
-        noise = jr.normal(key, spatial) + 1j * jr.normal(key, spatial)
+    def complex_noise(key):
+        k_re, k_im = jr.split(key)
+        return jr.normal(k_re, spatial) + 1j * jr.normal(k_im, spatial)
+
+    def to_field(noise):
         field = jnp.fft.ifft2(amplitude * noise).real
         return field / (jnp.std(field) + 1e-12) * std
 
     if len(shape) == 2:
-        return one(key)
+        return to_field(complex_noise(key))
+
     keys = jr.split(key, shape[0])
-    return jnp.stack([one(k) for k in keys])
+    rho = temporal_corr
+    noise = complex_noise(keys[0])
+    frames = [to_field(noise)]
+    for k in keys[1:]:
+        noise = rho * noise + np.sqrt(1 - rho**2) * complex_noise(k)
+        frames.append(to_field(noise))
+    return jnp.stack(frames)
 
 
 def next_power_of_two(x):

@@ -45,12 +45,7 @@ def ring_stokes(spin, inc_deg, req, beta_v, chi_deg, b_field, mbar=0,
         spectral_index=spectral_index))
 
     # pick the sample at the mbar-th equatorial crossing of each ray
-    q = equatorial.equatorial_crossing_quantities(geos, mbar)
-    ct = np.cos(geos.theta)
-    sign_change = np.signbit(ct[..., 1:]) != np.signbit(ct[..., :-1])
-    order = np.cumsum(sign_change, axis=-1)
-    is_mth = (order == mbar + 1) & sign_change
-    idx = np.argmax(is_mth, axis=-1)
+    _, _, idx = equatorial.crossing_index(geos, mbar)
     it = np.arange(len(varphis))
     stokes = np.stack([J[k][it, idx] for k in range(3)])
     return varphis, alpha, beta, np.nan_to_num(stokes, nan=0.0)

@@ -1,0 +1,86 @@
+"""Regression tests for code-review findings (round 1)."""
+import numpy as np
+import pytest
+
+import jax
+
+from bhnerf_tpu import emission, observation as obs_lib, units, utils
+
+
+def test_2d_hotspot_field():
+    """Grid3D must support 2D fields (generate_hotspot 2D branch)."""
+    hs = emission.generate_hotspot((32, 32), [0, 0, 1], 0.3, 6.5, 0.8,
+                                   6.0, 20.0)
+    assert hs.data.shape == (32, 32)
+    total = float(np.asarray(hs.integrate()))
+    assert abs(total - 1.0) < 1e-5  # normalized
+    assert len(hs.meshgrid()) == 2
+
+
+def test_chisqdata_single_frame_keeps_nt_axis():
+    array = obs_lib.load_txt('eht_arrays/EHT2017.txt')
+    obs0 = obs_lib.empty_eht_obs(array, nt=4, tint=60.0)
+    movie = np.zeros((1, 16, 16))
+    movie[:, 8, 8] = 1.0
+    obs = obs_lib.observe_same(movie, np.array([8.0]), 1e-10, obs0,
+                               thermal_noise=False)
+    target, sigma, A = obs.chisqdata(units.Quantity([8.0], 'hr'), 'vis',
+                                     1.6e-9, 16)
+    assert target.ndim == 2 and target.shape[0] == 1
+    assert A.ndim == 3 and A.shape[0] == 1
+
+
+def test_total_movie_loss_exact_tail():
+    """Ragged nt % batchsize tail must contribute its exact loss."""
+    from bhnerf_tpu import constants
+    from bhnerf_tpu.geodesics import image_plane_geos
+    from bhnerf_tpu.models import NeRFPredictor
+    from bhnerf_tpu.train import (TrainState, TrainStep, make_optimizer,
+                                  raytracing_args, total_movie_loss)
+
+    geos = image_plane_geos(0.0, np.deg2rad(60), (-8, 8), (-8, 8),
+                            ngeo=16, num_alpha=8, num_beta=8, n_fine=1024)
+    rt = raytracing_args(geos, geos.keplerian_omega(),
+                         -float(geos.r_o + 4), units.Quantity(0.0, 'hr'))
+    predictor = NeRFPredictor(scale=8.0, rmax=8.0, z_width=2.0,
+                              net_depth=2, net_width=16)
+    state = TrainState.create(predictor.init_params(), make_optimizer(10))
+    nt = 13
+    t_frames = units.Quantity(np.linspace(0, 0.3, nt), 'hr')
+    # strongly frame-dependent target so tail bias would show
+    target = np.linspace(0, 5, nt)[:, None, None] * np.ones((nt, 8, 8))
+    step = TrainStep.image(t_frames, target, predictor, dtype='full')
+
+    loss_batched = total_movie_loss(5, state, step, rt)
+    loss_exact = total_movie_loss(nt, state, step, rt)
+    np.testing.assert_allclose(loss_batched, loss_exact, rtol=1e-5)
+
+
+def test_grf_statistics():
+    key = jax.random.PRNGKey(0)
+    f = np.asarray(utils.gaussian_random_field(key, (64, 64), slope=3.0))
+    assert abs(f.std() - 1.0) < 1e-3
+    # real/imag noise must differ: the field should not be point-symmetric
+    corr = np.corrcoef(f.ravel(), np.flip(f).ravel())[0, 1]
+    assert abs(corr) < 0.9
+    # temporal AR(1) correlation between consecutive movie frames
+    m = np.asarray(utils.gaussian_random_field(key, (6, 32, 32),
+                                               temporal_corr=0.95))
+    cc = [np.corrcoef(m[i].ravel(), m[i + 1].ravel())[0, 1]
+          for i in range(5)]
+    assert np.mean(cc) > 0.7
+    m0 = np.asarray(utils.gaussian_random_field(key, (6, 32, 32),
+                                                temporal_corr=0.0))
+    cc0 = [np.corrcoef(m0[i].ravel(), m0[i + 1].ravel())[0, 1]
+           for i in range(5)]
+    assert np.mean(cc0) < 0.3
+
+
+def test_step_fns_cached():
+    from bhnerf_tpu.models import NeRFPredictor
+    from bhnerf_tpu.train.step import make_step_fns
+    p1 = NeRFPredictor(net_depth=2, net_width=16)
+    p2 = NeRFPredictor(net_depth=2, net_width=16)
+    a = make_step_fns(p1, 'image', 'lc')
+    b = make_step_fns(p2, 'image', 'lc')
+    assert a[0] is b[0]  # identical configs share jit caches
