@@ -160,21 +160,23 @@ class TrainStep:
 
     @classmethod
     def image(cls, t_frames, target, predictor, sigma=1.0, offset=0.0,
-              scale=1.0, dtype='full', mesh=None):
+              scale=1.0, dtype='full', mesh=None, fused=False):
         """Image-plane / lightcurve training step
-        (reference optimization.py:189-217)."""
+        (reference optimization.py:189-217). fused=True routes the NeRF
+        hot path through the Pallas TPU kernel."""
         target = np.asarray(target)
         sigma = sigma * np.ones_like(target)
         offset = offset * np.ones_like(target)
         args = TemporalBatchedArgs(t_frames, [target, sigma, offset],
                                    mesh=mesh)
         grad_fn, test_fn = step_lib.make_step_fns(predictor, kind='image',
-                                                  dtype=dtype)
+                                                  dtype=dtype, fused=fused)
         return cls(dtype, args, grad_fn, test_fn, scale)
 
     @classmethod
     def eht(cls, t_frames, obs, image_fov, image_size, predictor,
-            chisqdata=None, dtype='vis', pol='I', scale=1.0, mesh=None):
+            chisqdata=None, dtype='vis', pol='I', scale=1.0, mesh=None,
+            fused=False):
         """EHT measurement training step (reference optimization.py:219-268).
 
         obs: bhnerf_tpu.observation.Observation (or anything with
@@ -191,7 +193,7 @@ class TrainStep:
             dtype, target, sigma, A)
         args = TemporalBatchedArgs(t_frames, [target, sigma, A], mesh=mesh)
         grad_fn, test_fn = step_lib.make_step_fns(predictor, kind='eht',
-                                                  dtype=dtype)
+                                                  dtype=dtype, fused=fused)
         return cls(dtype, args, grad_fn, test_fn, scale)
 
     @property
