@@ -249,10 +249,15 @@ def image_plane_dynamics(emission_0, geos, Omega, t_frames, t_injection,
         raise TypeError('emission_0 must be a Grid3D')
     emission = jnp.where(valid, emission, 0.0)
 
-    if not np.isscalar(J):
-        J = utils.expand_dims(jnp.asarray(J), emission.ndim + 1, 0)
-        emission = J * utils.expand_dims(emission, emission.ndim + 1, 1)
-        emission = jnp.squeeze(emission)
+    if jnp.ndim(J) > 0:
+        # Stokes axis goes after any leading frame dims (see
+        # train.step.image_plane_prediction for the nt == 1 pitfall in
+        # the reference's expand+squeeze pattern)
+        nt_dims = emission.ndim - 3
+        J_b = jnp.asarray(J).reshape((1,) * nt_dims + np.shape(J))
+        emission = J_b * jnp.expand_dims(emission, axis=nt_dims)
+    elif not (np.isscalar(J) and J == 1.0):
+        emission = emission * J
 
     return gr.radiative_transfer(emission, jnp.asarray(g),
                                  jnp.asarray(geos.dtau),

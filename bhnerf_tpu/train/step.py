@@ -290,10 +290,16 @@ def image_plane_prediction(params, predictor, t_frames_M,
             params, predictor, t_frames_M, rt)
     else:
         emission = predict_emission(params, predictor, t_frames_M, rt)
-    if not np.isscalar(rt.J):
-        J = utils.expand_dims(rt.J, emission.ndim + 1, 0)
-        emission = J * utils.expand_dims(emission, emission.ndim + 1, 1)
-        emission = jnp.squeeze(emission)
+    if jnp.ndim(rt.J) > 0:
+        # insert the Stokes axis after any leading frame dims (explicit —
+        # the reference's expand+squeeze pattern drops the frame axis
+        # when nt == 1, network.py:415-418); 0-d J (scalar, possibly
+        # traced) is a plain intensity scale
+        nt_dims = emission.ndim - 3
+        J = jnp.asarray(rt.J).reshape((1,) * nt_dims + np.shape(rt.J))
+        emission = J * jnp.expand_dims(emission, axis=nt_dims)
+    elif not (np.isscalar(rt.J) and rt.J == 1.0):
+        emission = emission * rt.J
     return gr.radiative_transfer(emission, rt.g, rt.dtau, rt.Sigma)
 
 
