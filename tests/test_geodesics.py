@@ -130,6 +130,23 @@ def test_isco_closed_forms():
     assert abs(constants.isco_pro(0.5) - 4.233) < 1e-3
 
 
+def test_weak_field_deflection():
+    """Large-impact-parameter rays bend by the Einstein angle 4M/b."""
+    b = np.array([50.0, 100.0, 200.0])
+    geos = trace_geodesics(b, np.zeros_like(b), spin=0.0,
+                           inclination=np.pi / 2, ngeo=400,
+                           distance=1000.0, tau_max=0.1, n_fine=8192)
+    # the turn of the (x, y) propagation direction between the two
+    # asymptotic ends is the Einstein deflection angle
+    x, y = geos.x, geos.y
+    v_in = np.stack([x[:, 1] - x[:, 0], y[:, 1] - y[:, 0]], -1)
+    v_out = np.stack([x[:, -1] - x[:, -2], y[:, -1] - y[:, -2]], -1)
+    cross = v_in[:, 0] * v_out[:, 1] - v_in[:, 1] * v_out[:, 0]
+    dot = (v_in * v_out).sum(-1)
+    deflection = np.abs(np.arctan2(cross, dot))
+    np.testing.assert_allclose(deflection, 4.0 / b, rtol=0.15)
+
+
 def test_kerr_frame_dragging_direction():
     """Spin drags prograde photon-ring asymmetry: rays at alpha>0 and
     alpha<0 see different effective potentials for a>0."""
