@@ -116,6 +116,7 @@ def rho_of_req(spin, inc, req, mbar=0, varphis=None, rho_min=1.0,
     # first grid point whose crossing exists with r >= req brackets the
     # solution from above (NaN exists both below and above the window)
     ok = np.isfinite(r_scan) & (r_scan >= req)
+    bracketed = ok.any(axis=0)
     idx_hi = np.clip(np.argmax(ok, axis=0), 1, n_scan - 1)
     hi = rho_grid[idx_hi]
     lo = rho_grid[idx_hi - 1]
@@ -127,4 +128,6 @@ def rho_of_req(spin, inc, req, mbar=0, varphis=None, rho_min=1.0,
         too_small = np.isnan(r_mid) | (r_mid < req)
         lo = np.where(too_small, mid, lo)
         hi = np.where(too_small, hi, mid)
-    return varphis, 0.5 * (lo + hi)
+    # NaN where req is unreachable within [rho_min, rho_max] (silent
+    # garbage near rho_min otherwise)
+    return varphis, np.where(bracketed, 0.5 * (lo + hi), np.nan)

@@ -184,11 +184,13 @@ def compact_raytracing_args(rt: RayTracingArgs, predictor,
     w = (np.asarray(rt.g) ** 2 * np.asarray(rt.dtau)
          * np.asarray(rt.Sigma)).reshape(-1)[flat_idx]
     J = rt.J
-    polarized = not np.isscalar(J)
+    # ndim (not isscalar): a scalar J that passed through a pytree op
+    # arrives as a 0-d array
+    polarized = np.ndim(J) > 0
     if polarized:
         W = np.asarray(J).reshape(np.shape(J)[0], -1)[:, flat_idx] * w
     else:
-        W = (w * float(J))[None]
+        W = (w * float(np.asarray(J)))[None]
     W = np.concatenate(
         [W, np.zeros((W.shape[0], n_pad - n_eff), W.dtype)], axis=1)
 
@@ -373,8 +375,14 @@ def loss_fn_eht(params, predictor, target, sigma, A, t_frames_M, rt,
         im01 = re0 * im1 + im0 * re1
         re = re01 * re2 - im01 * im2
         im = re01 * im2 + im01 * re2
-        clphase = jnp.arctan2(im, re)
-        chisq = jnp.sum((1.0 - jnp.cos(target - clphase)) / sigma**2)
+        # padded triangle rows have A=0 => (re, im) = (0, 0), and
+        # arctan2's vjp at the origin is NaN even under a zero cotangent
+        # (sigma=inf): double-where so padding contributes exactly zero
+        safe = (re * re + im * im) > 1e-30
+        clphase = jnp.arctan2(jnp.where(safe, im, 0.0),
+                              jnp.where(safe, re, 1.0))
+        chisq = jnp.sum(jnp.where(
+            safe, (1.0 - jnp.cos(target - clphase)) / sigma**2, 0.0))
     else:
         raise ValueError(f'eht dtype ({dtype}) not supported')
     return scale * chisq, [images]

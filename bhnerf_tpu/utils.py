@@ -236,18 +236,21 @@ def gaussian_random_field(key, shape, slope=3.0, std=1.0,
     kgrid = np.meshgrid(*kfreq, indexing='ij')
     knorm = np.sqrt(sum(k**2 for k in kgrid))
     knorm[0, 0] = np.inf
-    amplitude = jnp.asarray(knorm ** (-slope / 2.0))
+    amplitude = knorm ** (-slope / 2.0)
 
     def complex_noise(key):
+        # normals drawn with jax (real dtype, any backend); the complex
+        # FFT runs in host numpy — the TPU backend has no complex dtypes
         k_re, k_im = jr.split(key)
-        return jr.normal(k_re, spatial) + 1j * jr.normal(k_im, spatial)
+        return (np.asarray(jr.normal(k_re, spatial))
+                + 1j * np.asarray(jr.normal(k_im, spatial)))
 
     def to_field(noise):
-        field = jnp.fft.ifft2(amplitude * noise).real
-        return field / (jnp.std(field) + 1e-12) * std
+        field = np.fft.ifft2(amplitude * noise).real
+        return field / (np.std(field) + 1e-12) * std
 
     if len(shape) == 2:
-        return to_field(complex_noise(key))
+        return jnp.asarray(to_field(complex_noise(key)))
 
     keys = jr.split(key, shape[0])
     rho = temporal_corr
@@ -256,7 +259,7 @@ def gaussian_random_field(key, shape, slope=3.0, std=1.0,
     for k in keys[1:]:
         noise = rho * noise + np.sqrt(1 - rho**2) * complex_noise(k)
         frames.append(to_field(noise))
-    return jnp.stack(frames)
+    return jnp.asarray(np.stack(frames))
 
 
 def next_power_of_two(x):

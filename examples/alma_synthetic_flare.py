@@ -19,7 +19,7 @@ import numpy as np
 
 def synthesize_alma_csv(path, inc_true=60.0, t_start=9.33, t_end=11.0,
                         cadence_s=4.0, P_sha=0.16, chi_sha=-37.0,
-                        faraday_deg=32.2, seed=0, num=24, ngeo=48):
+                        faraday_deg=32.2, seed=0, num=24):
     """Render a polarized hotspot lightcurve and dress it up like the
     ALMA data product (shadow polarization + Faraday rotation + noise)."""
     import pandas as pd
@@ -72,8 +72,7 @@ def main(out_dir='example_outputs', small=False):
     csv = os.path.join(out_dir, 'alma_synthetic.csv')
     num = 16 if small else 32
     iters = 150 if small else 1000
-    model_params = synthesize_alma_csv(csv, num=num,
-                                       ngeo=32 if small else 64)
+    model_params = synthesize_alma_csv(csv, num=num)
 
     # 1. preprocessing (window average, shadow subtraction, de-rotation)
     target, t_frames = alma.preprocess_data(

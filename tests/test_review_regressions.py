@@ -76,6 +76,51 @@ def test_grf_statistics():
     assert np.mean(cc0) < 0.3
 
 
+def test_cphase_padded_triangles_no_nan_grad():
+    """Ragged triangle counts pad rows with A=0, sigma=inf; the cphase
+    gradient must stay finite (arctan2 at the origin has a NaN vjp)."""
+    import jax.numpy as jnp
+    from bhnerf_tpu.geodesics import image_plane_geos
+    from bhnerf_tpu.models import NeRFPredictor
+    from bhnerf_tpu.train import raytracing_args
+    from bhnerf_tpu.train.step import loss_fn_eht
+
+    geos = image_plane_geos(0.0, np.deg2rad(60), (-8, 8), (-8, 8),
+                            ngeo=16, num_alpha=8, num_beta=8, n_fine=512)
+    rt = raytracing_args(geos, geos.keplerian_omega(),
+                         -float(geos.r_o + 4), units.Quantity(0.0, 'hr'))
+    predictor = NeRFPredictor(scale=8.0, rmax=8.0, z_width=2.0,
+                              net_depth=2, net_width=16)
+    params = predictor.init_params()
+
+    nt, ntri, npix2 = 2, 3, 64
+    A = np.zeros((nt, 3, 2, ntri, npix2), np.float32)
+    A[..., :2, :] = 1.0  # two real triangles; the last row stays padded
+    target = np.zeros((nt, ntri), np.float32)
+    sigma = np.where(np.arange(ntri) < 2, 1.0, np.inf).astype(np.float32)
+    sigma = np.broadcast_to(sigma, (nt, ntri)).copy()
+    t_frames_M = jnp.asarray([0.0, 50.0], jnp.float32)
+
+    def loss(p):
+        val, _ = loss_fn_eht(p, predictor, jnp.asarray(target),
+                             jnp.asarray(sigma), jnp.asarray(A),
+                             t_frames_M, rt, 1.0, 'cphase')
+        return val
+
+    val, grads = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(val))
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_rho_of_req_unreachable_returns_nan():
+    from bhnerf_tpu.geodesics import equatorial
+    _, rho = equatorial.rho_of_req(0.0, np.deg2rad(20), req=50.0,
+                                   mbar=0, varphis=np.array([0.0]),
+                                   rho_max=10.0, ngeo=200)
+    assert np.isnan(rho).all()
+
+
 def test_step_fns_cached():
     from bhnerf_tpu.models import NeRFPredictor
     from bhnerf_tpu.train.step import make_step_fns

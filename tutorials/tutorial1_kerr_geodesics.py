@@ -20,7 +20,7 @@ def main(out_dir='tutorial_outputs', small=False):
     matplotlib.use('Agg')
     import matplotlib.pyplot as plt
 
-    from bhnerf_tpu import visualization
+    from bhnerf_tpu import constants, visualization
     from bhnerf_tpu.geodesics import image_plane_geos
 
     os.makedirs(out_dir, exist_ok=True)
@@ -34,8 +34,7 @@ def main(out_dir='tutorial_outputs', small=False):
                             beta_range=(-10, 10), ngeo=ngeo,
                             num_alpha=num, num_beta=num)
     print('geodesics:', geos.r.shape, 'fields: r,theta,phi,t,mino,dtau,...')
-    print(f'ISCO (prograde): '
-          f'{3 + np.sqrt(3*spin**2 + (1+(1-spin**2)**(1/3)*((1+spin)**(1/3)+(1-spin)**(1/3)))**2):.3f} M')
+    print(f'ISCO (prograde): {float(constants.isco_pro(spin)):.3f} M')
     print(f't range along rays: [{geos.t.min():.1f}, {geos.t.max():.1f}] M')
 
     # 3D ray visualization with the event horizon
