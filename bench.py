@@ -76,13 +76,22 @@ def main():
     offset = jnp.zeros_like(target)
     t_batch = jnp.asarray(t_frames[:batch])
 
-    grad_step, _ = make_step_fns(predictor, kind='image', dtype='full',
-                                 donate_state=True, fused=True)
-
-    # compile + warmup
+    # compile + warmup (fall back to the pure-XLA path if the Pallas
+    # kernel fails to compile on this TPU generation)
     mark('geodesics done, compiling train step')
-    loss, state, _ = grad_step(state, target, sigma, offset, t_batch, rt, 1.0)
-    jax.block_until_ready(loss)
+    try:
+        grad_step, _ = make_step_fns(predictor, kind='image', dtype='full',
+                                     donate_state=True, fused=True)
+        loss, state, _ = grad_step(state, target, sigma, offset, t_batch,
+                                   rt, 1.0)
+        jax.block_until_ready(loss)
+    except Exception as e:  # pragma: no cover - hardware dependent
+        mark(f'fused kernel unavailable ({type(e).__name__}); XLA fallback')
+        grad_step, _ = make_step_fns(predictor, kind='image', dtype='full',
+                                     donate_state=True, fused=False)
+        loss, state, _ = grad_step(state, target, sigma, offset, t_batch,
+                                   rt, 1.0)
+        jax.block_until_ready(loss)
     mark('compile done, timing')
 
     n_steps = 30
