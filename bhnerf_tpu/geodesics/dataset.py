@@ -140,6 +140,20 @@ class Geodesics:
         """xarray-API parity; this implementation produces no NaNs."""
         return self
 
+    def save(self, path):
+        """Serialize to .npz (the xr.Dataset.to_netcdf affordance)."""
+        arrays = {f: np.asarray(getattr(self, f)) for f in self._FIELDS}
+        scalars = {f: getattr(self, f) for f in self._AUX}
+        np.savez_compressed(path, **arrays,
+                            _aux=np.array([scalars[f] for f in self._AUX]))
+
+    @classmethod
+    def load(cls, path):
+        blob = np.load(path)
+        aux = blob['_aux']
+        return cls(*(blob[f] for f in cls._FIELDS),
+                   **dict(zip(cls._AUX, (float(a) for a in aux))))
+
     def keplerian_omega(self, direction=1.0, frac=1.0):
         """Keplerian angular velocity field along the rays
         (reference alma.py:49, Tutorial2 usage)."""

@@ -121,6 +121,42 @@ def test_subpixel_randomization_stays_in_pixel():
     assert not np.allclose(g1.alpha, g2.alpha)
 
 
+def test_geodesics_fuzz_invariants():
+    """Random (spin, inclination, screen points): basic invariants hold
+    for every traced ray."""
+    rng = np.random.default_rng(42)
+    for _ in range(4):
+        spin = rng.uniform(0.0, 0.95)
+        inc = rng.uniform(np.deg2rad(5), np.deg2rad(85))
+        alpha = rng.uniform(-12, 12, 24)
+        beta = rng.uniform(-12, 12, 24)
+        geos = trace_geodesics(alpha, beta, spin, inc, ngeo=48,
+                               n_fine=2048)
+        r_h = 1 + np.sqrt(1 - spin**2)
+        assert np.isfinite(geos.r).all() and np.isfinite(geos.t).all()
+        assert np.isfinite(geos.phi).all()
+        assert (geos.r >= r_h).all()
+        assert (geos.r <= geos.r_o * (1 + 1e-6)).all()
+        assert (geos.t <= 1e-9).all()
+        assert (np.diff(geos.mino, axis=-1) > 0).all()
+        assert (geos.Sigma > 0).all() and (geos.Xi > 0).all()
+        # theta stays within a hemisphere band around the initial value
+        # only for equatorial-symmetric potentials; just require validity
+        assert np.isfinite(geos.theta).all()
+
+
+def test_geodesics_save_load(tmp_path):
+    geos = trace_geodesics(np.array([5.0, 7.0]), np.array([1.0, -2.0]),
+                           0.5, np.deg2rad(45), ngeo=16, n_fine=512)
+    path = tmp_path / 'geos.npz'
+    geos.save(path)
+    from bhnerf_tpu.geodesics import Geodesics
+    loaded = Geodesics.load(path)
+    np.testing.assert_array_equal(loaded.r, geos.r)
+    np.testing.assert_array_equal(loaded.t, geos.t)
+    assert loaded.spin == geos.spin and loaded.inc == geos.inc
+
+
 def test_isco_closed_forms():
     """Bardeen ISCO formulas (reference constants.py:7-10)."""
     assert abs(constants.isco_pro(0.0) - 6.0) < 1e-12
