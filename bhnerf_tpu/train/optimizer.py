@@ -85,7 +85,10 @@ class Optimizer:
                                       int(self.step), keep=self.keep)
 
     def run(self, batchsize, train_step, raytracing_args, log_fns=(),
-            verbose=True):
+            verbose=True, nan_check_period=1000):
+        """Training loop (reference optimization.py:123-139), plus a
+        periodic non-finite-loss guard (the reference trains blindly
+        through NaNs; checking every step would force a host sync)."""
         from tqdm.auto import tqdm
         self.init_step = int(np.asarray(jax.device_get(self.state.step))) + 1
         self.final_step = self.init_step + self.num_iters
@@ -101,6 +104,14 @@ class Optimizer:
                 batch = train_step.args[0].sample(batchsize)
                 self.loss, self.state, images = train_step(
                     self.state, raytracing_args, indices=batch)
+                if (nan_check_period and
+                        self.step % nan_check_period == 0 and
+                        not np.isfinite(np.asarray(self.loss)).all()):
+                    import warnings
+                    warnings.warn(
+                        f'non-finite loss at step {self.step}; stopping '
+                        f'(last checkpoint is recoverable)')
+                    return
                 self.log()
                 self.save_checkpoint()
         except KeyboardInterrupt:
