@@ -31,7 +31,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_N = 1024
+TILE_N = 4096
 
 
 def _interpret():
@@ -172,6 +172,8 @@ def _fused_mlp_fwd(F, mask, packed, cfg, compute_dtype):
         out_specs=pl.BlockSpec((TILE_N, 1), lambda j: (j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, 1), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(F, mask, *packed)
 
@@ -203,6 +205,8 @@ def _fused_mlp_bwd(F, mask, g_em, packed, cfg, compute_dtype):
         ] + _full_specs(len(packed)),
         out_specs=[const_spec(p) for p in packed],
         out_shape=grad_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(F, mask, g_em, *packed)
     return grads
