@@ -130,6 +130,10 @@ class NeRFPredictor:
     out_channel: int = 1
     do_skip: bool = True
     activation: Any = jax.nn.relu
+    # matmul precision of the fused TPU render kernel (ops/fused.py):
+    # 'bfloat16' engages the MXU's native rate with f32 accumulation.
+    # Parameters and the XLA fallback path stay float32 regardless.
+    compute_dtype: str = 'float32'
 
     # -- parameters -------------------------------------------------------
     def init_params(self, seed=1, dtype=jnp.float32):
@@ -168,7 +172,7 @@ class NeRFPredictor:
     # -- persistence ------------------------------------------------------
     _YAML_KEYS = ('scale', 'rmin', 'rmax', 'z_width', 'posenc_deg',
                   'posenc_var', 'net_depth', 'net_width', 'out_channel',
-                  'do_skip')
+                  'do_skip', 'compute_dtype')
 
     def save_params(self, directory, filename='NeRF_Predictor_params.yml'):
         directory = Path(directory)

@@ -1,22 +1,29 @@
-"""Fused Pallas TPU kernel for the NeRF MLP hot path.
+"""Fused Pallas TPU kernel for the NeRF render hot path.
 
-The training inner loop evaluates posenc -> MLP -> sigmoid -> mask on
-~2.5M ray samples per step (SURVEY.md §3.2 hot loop). XLA fuses the
+The training inner loop evaluates warp -> posenc -> MLP -> sigmoid -> mask
+on ~2.5M ray samples per step (SURVEY.md §3.2 hot loop). XLA fuses the
 elementwise work into matmuls but cannot fuse *across* the matmul chain,
 so every hidden layer round-trips (N, 128) activations through HBM —
 gigabytes per training step at production sizes. This kernel runs the
-whole dense chain per tile inside VMEM:
+ENTIRE per-sample pipeline per tile inside VMEM:
 
-* inputs are the positional-encoded features F (N, feat) and a {0,1}
-  validity*domain mask — the velocity warp + posenc stay in XLA (they
-  fuse into one pointwise pass and their outputs carry no parameter
-  gradients);
+* inputs are the raw per-sample ray constants — coords (N, 3), Omega,
+  t_geos_rel, a static domain mask — plus one frame-time scalar per grid
+  row (SMEM). The velocity warp (rigid rotation about z by
+  -Omega*max(t - t_inj, 0), reference emission.py:143-211) and the NeRF
+  positional encoding (reference network.py:98-122) are computed in-kernel,
+  so the (nt, N, feat) feature tensor never exists in HBM;
 * forward: per (TILE_N, feat) tile, the full
-  dense -> relu -> [skip concat] -> ... -> sigmoid(x-10) * mask chain;
-* backward: a second kernel rematerializes the activations per tile and
-  accumulates parameter gradients in-place across the (sequential) TPU
-  grid; no gradients w.r.t. F/mask are produced (they are frozen ray
-  constants — learnable-t_injection uses the XLA path instead).
+  dense -> relu -> [skip concat] -> ... -> sigmoid(x-10) * mask chain
+  (reference network.py:18-64, 191-237);
+* backward: a second kernel rematerializes warp+posenc+activations per
+  tile and accumulates parameter gradients in-place across the
+  (sequential) TPU grid; no gradients w.r.t. the ray constants are
+  produced (they are frozen; learnable-t_injection uses the XLA path).
+
+Matmuls run in `compute_dtype` (a real NeRFPredictor field; 'bfloat16'
+engages the MXU's native precision) with float32 accumulation; the warp
+and trig stay float32.
 
 Falls back to `interpret=True` off-TPU so the same code path is testable
 on the CPU mesh.
@@ -58,6 +65,33 @@ def unpack_grads(flat_grads, net_depth):
     return out
 
 
+def _prologue(t, coords, omega, tg, smask, scale, deg):
+    """In-kernel velocity warp + posenc. All f32; mirrors
+    emission.velocity_warp_coords (rot_axis z) + models.fields.posenc.
+
+    t: frame time (M units, t_injection already subtracted); coords
+    (TILE_N, 3); omega/tg/smask (TILE_N, 1). Returns (F, mask)."""
+    t_M = t + tg                                   # (TILE_N, 1)
+    valid = t_M >= 0.0
+    theta = jnp.where(valid, t_M, 0.0) * omega
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    x, y, z = coords[:, 0:1], coords[:, 1:2], coords[:, 2:3]
+    vf = valid.astype(jnp.float32)
+    # R(-theta) about z, then zero invalid slots (matches the XLA path's
+    # where(valid, warped, 0) BEFORE the /scale posenc input)
+    wx = (c * x + s * y) * vf
+    wy = (c * y - s * x) * vf
+    wz = z * vf
+    w = jnp.concatenate([wx, wy, wz], axis=-1) * (1.0 / scale)
+    if deg > 0:
+        xb = jnp.concatenate([w * (2.0 ** i) for i in range(deg)], axis=-1)
+        ang = jnp.concatenate([xb, xb + 0.5 * jnp.pi], axis=-1)
+        F = jnp.concatenate([w, jnp.sin(ang % (100 * jnp.pi))], axis=-1)
+    else:
+        F = w
+    return F, vf * smask
+
+
 def _forward_chain(F, wb_refs, cfg, dtype):
     """Dense chain in (samples, channels) layout; mirrors
     models.fields.apply_mlp. Returns (post-relu activations, out col)."""
@@ -82,27 +116,32 @@ def _forward_chain(F, wb_refs, cfg, dtype):
     return acts, out
 
 
-def _fwd_kernel(F_ref, mask_ref, *rest, cfg, dtype):
+def _fwd_kernel(t_ref, coords_ref, omega_ref, tg_ref, smask_ref, *rest,
+                cfg, scale, deg, dtype):
     wb_refs = rest[:-1]
     out_ref = rest[-1]
-    _, out = _forward_chain(F_ref[:], wb_refs, cfg, dtype)
+    F, mask = _prologue(t_ref[0, 0], coords_ref[:], omega_ref[:], tg_ref[:],
+                        smask_ref[:], scale, deg)
+    _, out = _forward_chain(F, wb_refs, cfg, dtype)
     em = jax.nn.sigmoid(out - 10.0)
-    out_ref[:] = em * mask_ref[:]
+    out_ref[:] = em * mask
 
 
-def _bwd_kernel(F_ref, mask_ref, g_ref, *rest, cfg, dtype):
+def _bwd_kernel(t_ref, coords_ref, omega_ref, tg_ref, smask_ref, g_ref,
+                *rest, cfg, scale, deg, dtype):
     net_depth, net_width, do_skip = cfg
     skip_layer = net_depth // 2 if do_skip else None
     n_wb = 2 * (net_depth + 1)
     wb_refs = rest[:n_wb]
     grad_refs = rest[n_wb:]
 
-    F = F_ref[:]
+    F, mask = _prologue(t_ref[0, 0], coords_ref[:], omega_ref[:], tg_ref[:],
+                        smask_ref[:], scale, deg)
     acts, out = _forward_chain(F, wb_refs, cfg, dtype)
     em = jax.nn.sigmoid(out - 10.0)
-    d_out = g_ref[:] * mask_ref[:] * em * (1.0 - em)  # (TILE_N, 1)
+    d_out = g_ref[:] * mask * em * (1.0 - em)  # (TILE_N, 1)
 
-    is_first = pl.program_id(0) == 0
+    is_first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
 
     def accum(ref, val):
         @pl.when(is_first)
@@ -154,129 +193,169 @@ def _full_specs(n):
     return [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n)]
 
 
-@functools.partial(jax.jit, static_argnames=('cfg', 'compute_dtype'))
-def _fused_mlp_fwd(F, mask, packed, cfg, compute_dtype):
-    n = F.shape[0]
+def _sample_specs(n_tiles):
+    """BlockSpecs for (t_eff, coords, Omega, t_geos_rel, smask)."""
+    return [
+        pl.BlockSpec((1, 1), lambda t, j: (t, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((TILE_N, 3), lambda t, j: (j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TILE_N, 1), lambda t, j: (j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TILE_N, 1), lambda t, j: (j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TILE_N, 1), lambda t, j: (j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('cfg', 'scale', 'deg', 'compute_dtype'))
+def _render_fwd(t_eff, coords, omega, tg, smask, packed, cfg, scale, deg,
+                compute_dtype):
+    n = coords.shape[0]
+    nt = t_eff.shape[0]
+    n_tiles = n // TILE_N
     dtype = jnp.bfloat16 if compute_dtype == 'bfloat16' else jnp.float32
-    kernel = functools.partial(_fwd_kernel, cfg=cfg, dtype=dtype)
-    feat = F.shape[1]
-    return pl.pallas_call(
+    kernel = functools.partial(_fwd_kernel, cfg=cfg, scale=scale, deg=deg,
+                               dtype=dtype)
+    em = pl.pallas_call(
         kernel,
-        grid=(n // TILE_N,),
-        in_specs=[
-            pl.BlockSpec((TILE_N, feat), lambda j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, 1), lambda j: (j, 0),
-                         memory_space=pltpu.VMEM),
-        ] + _full_specs(len(packed)),
-        out_specs=pl.BlockSpec((TILE_N, 1), lambda j: (j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, 1), jnp.float32),
+        grid=(nt, n_tiles),
+        in_specs=_sample_specs(n_tiles) + _full_specs(len(packed)),
+        out_specs=pl.BlockSpec(
+            (TILE_N, 1), lambda t, j, _nt=n_tiles: (t * _nt + j, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nt * n, 1), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(F, mask, *packed)
+    )(t_eff, coords, omega, tg, smask, *packed)
+    return em.reshape(nt, n)
 
 
-@functools.partial(jax.jit, static_argnames=('cfg', 'compute_dtype'))
-def _fused_mlp_bwd(F, mask, g_em, packed, cfg, compute_dtype):
-    n = F.shape[0]
+@functools.partial(jax.jit,
+                   static_argnames=('cfg', 'scale', 'deg', 'compute_dtype'))
+def _render_bwd(t_eff, coords, omega, tg, smask, g_em, packed, cfg, scale,
+                deg, compute_dtype):
+    n = coords.shape[0]
+    nt = t_eff.shape[0]
+    n_tiles = n // TILE_N
     dtype = jnp.bfloat16 if compute_dtype == 'bfloat16' else jnp.float32
-    kernel = functools.partial(_bwd_kernel, cfg=cfg, dtype=dtype)
-    feat = F.shape[1]
+    kernel = functools.partial(_bwd_kernel, cfg=cfg, scale=scale, deg=deg,
+                               dtype=dtype)
     grad_shapes = [jax.ShapeDtypeStruct(p.shape, jnp.float32)
                    for p in packed]
 
     def const_spec(p):
         ndim = len(p.shape)
-        return pl.BlockSpec(p.shape, lambda j, _nd=ndim: (0,) * _nd,
+        return pl.BlockSpec(p.shape, lambda t, j, _nd=ndim: (0,) * _nd,
                             memory_space=pltpu.VMEM)
 
+    g_spec = pl.BlockSpec(
+        (TILE_N, 1), lambda t, j, _nt=n_tiles: (t * _nt + j, 0),
+        memory_space=pltpu.VMEM)
     grads = pl.pallas_call(
         kernel,
-        grid=(n // TILE_N,),
-        in_specs=[
-            pl.BlockSpec((TILE_N, feat), lambda j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, 1), lambda j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, 1), lambda j: (j, 0),
-                         memory_space=pltpu.VMEM),
-        ] + _full_specs(len(packed)),
+        grid=(nt, n_tiles),
+        in_specs=_sample_specs(n_tiles) + [g_spec] + _full_specs(len(packed)),
         out_specs=[const_spec(p) for p in packed],
         out_shape=grad_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(F, mask, g_em, *packed)
+    )(t_eff, coords, omega, tg, smask, g_em.reshape(nt * n, 1), *packed)
     return grads
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def fused_mlp_emission(params, F, mask, cfg, compute_dtype='float32'):
-    """Masked sigmoid-MLP emission via the fused TPU kernel.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def fused_render(params, coords, omega, tg, smask, t_eff, cfg, scale, deg,
+                 compute_dtype='float32'):
+    """Warp+posenc+MLP emission via the fused TPU kernel.
 
-    F: (N, feat) posenc features (N divisible by TILE_N); mask: (N, 1).
-    Returns (N, 1). Gradients flow to `params` only.
+    coords (N, 3), omega/tg/smask (N, 1) with N a multiple of TILE_N;
+    t_eff (nt, 1) frame times in M units with t_injection subtracted.
+    Returns emission (nt, N). Gradients flow to `params` only.
     """
-    if F.shape[0] % TILE_N:
+    if coords.shape[0] % TILE_N:
         raise ValueError(
-            f'sample count {F.shape[0]} must be a multiple of TILE_N '
+            f'sample count {coords.shape[0]} must be a multiple of TILE_N '
             f'({TILE_N}); pad the inputs (see predict_emission_fused)')
     packed = pack_params(params, cfg[0])
-    return _fused_mlp_fwd(F, mask, packed, cfg, compute_dtype)
+    return _render_fwd(t_eff, coords, omega, tg, smask, packed, cfg, scale,
+                       deg, compute_dtype)
 
 
-def _fe_fwd(params, F, mask, cfg, compute_dtype):
+def _fr_fwd(params, coords, omega, tg, smask, t_eff, cfg, scale, deg,
+            compute_dtype):
+    out = fused_render(params, coords, omega, tg, smask, t_eff, cfg, scale,
+                       deg, compute_dtype)
+    return out, (params, coords, omega, tg, smask, t_eff)
+
+
+def _fr_bwd(cfg, scale, deg, compute_dtype, residuals, g_em):
+    params, coords, omega, tg, smask, t_eff = residuals
     packed = pack_params(params, cfg[0])
-    out = _fused_mlp_fwd(F, mask, packed, cfg, compute_dtype)
-    return out, (params, F, mask)
-
-
-def _fe_bwd(cfg, compute_dtype, residuals, g_em):
-    params, F, mask = residuals
-    packed = pack_params(params, cfg[0])
-    flat = _fused_mlp_bwd(F, mask, g_em, packed, cfg, compute_dtype)
+    flat = _render_bwd(t_eff, coords, omega, tg, smask, g_em, packed, cfg,
+                       scale, deg, compute_dtype)
     d_params = unpack_grads(list(flat), cfg[0])
-    return (d_params, jnp.zeros_like(F), jnp.zeros_like(mask))
+    return (d_params, jnp.zeros_like(coords), jnp.zeros_like(omega),
+            jnp.zeros_like(tg), jnp.zeros_like(smask),
+            jnp.zeros_like(t_eff))
 
 
-fused_mlp_emission.defvjp(_fe_fwd, _fe_bwd)
+fused_render.defvjp(_fr_fwd, _fr_bwd)
 
 
 # ---------------------------------------------------------------------------
 # High-level integration with the training step
 # ---------------------------------------------------------------------------
+def _flatten_sample_args(coords, omega, tg, smask, n):
+    """Flatten/pad per-sample constants into the kernel layout.
+
+    coords: (3, ...) component-major; omega scalar or coords-shaped;
+    tg/smask coords[0]-shaped. Padding rows get tg=-1e30 (never valid)."""
+    n_pad = (n + TILE_N - 1) // TILE_N * TILE_N
+    pad = n_pad - n
+
+    def col(x, fill=0.0):
+        x = jnp.broadcast_to(jnp.asarray(x, jnp.float32), coords.shape[1:])
+        return jnp.pad(x.reshape(n, 1), ((0, pad), (0, 0)),
+                       constant_values=fill)
+
+    coords_n = jnp.pad(coords.reshape(3, n).T.astype(jnp.float32),
+                       ((0, pad), (0, 0)))
+    return coords_n, col(omega), col(tg, fill=-1e30), col(smask), n_pad
+
+
+def render_samples(params, predictor, t_frames_M, coords, omega, tg,
+                   t_injection, smask=1.0):
+    """Emission on an arbitrary per-sample set via the fused kernel.
+
+    Returns (nt_flat, n) where nt_flat = prod(shape(t_frames_M)) (>= 1).
+    """
+    n = int(np.prod(coords.shape[1:]))
+    coords_n, omega_n, tg_n, smask_n, n_pad = _flatten_sample_args(
+        coords, omega, tg, smask, n)
+    t_eff = (jnp.asarray(t_frames_M, jnp.float32).reshape(-1, 1)
+             - jax.lax.stop_gradient(jnp.asarray(t_injection, jnp.float32)))
+    cfg = (predictor.net_depth, predictor.net_width, predictor.do_skip)
+    em = fused_render(params, coords_n, omega_n, tg_n, smask_n, t_eff, cfg,
+                      float(predictor.scale), int(predictor.posenc_deg),
+                      getattr(predictor, 'compute_dtype', 'float32'))
+    return em[:, :n]
+
+
 def predict_emission_fused(params, predictor, t_frames_M, rt):
     """Drop-in replacement for train.step.predict_emission using the
     fused kernel. Returns emission shaped (nt, na, nb, ngeo)."""
     from bhnerf_tpu import emission as emission_lib
-    from bhnerf_tpu.models.fields import posenc
 
-    warped, valid = emission_lib.velocity_warp_coords(
-        rt.coords, rt.Omega, t_frames_M, 0.0, rt.t_geos_rel,
-        rt.t_injection, t_units=None, return_mask=True)
-    t_shape = jnp.shape(t_frames_M)
-    spatial = rt.coords.shape[1:]
-    full_shape = (*t_shape, *spatial)
-    warped = jnp.broadcast_to(warped, (*full_shape, 3))
-    valid = jnp.broadcast_to(valid, full_shape)
-
-    # combined validity + supervision-domain mask (unwarped coords)
+    # supervision-domain mask on the unwarped coords (static per model)
     domain = emission_lib.domain_mask(rt.coords, predictor.rmin,
                                       predictor.rmax, predictor.z_width)
-    mask = (valid & domain).astype(jnp.float32)
-
-    net_input = jnp.where(valid[..., None], warped, 0.0)
-    F = posenc(net_input / predictor.scale, predictor.posenc_deg)
-    feat = F.shape[-1]
-
-    n = int(np.prod(full_shape))
-    n_pad = (n + TILE_N - 1) // TILE_N * TILE_N
-    F = jnp.pad(F.reshape(n, feat), ((0, n_pad - n), (0, 0)))
-    mask_col = jnp.pad(mask.reshape(n, 1), ((0, n_pad - n), (0, 0)))
-
-    cfg = (predictor.net_depth, predictor.net_width, predictor.do_skip)
-    em = fused_mlp_emission(params, F, mask_col, cfg,
-                            getattr(predictor, 'compute_dtype', 'float32'))
-    return em[:n, 0].reshape(full_shape)
+    em = render_samples(params, predictor, t_frames_M, rt.coords, rt.Omega,
+                        rt.t_geos_rel, rt.t_injection,
+                        smask=domain.astype(jnp.float32))
+    t_shape = jnp.shape(t_frames_M)
+    return em.reshape(*t_shape, *rt.coords.shape[1:])

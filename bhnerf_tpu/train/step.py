@@ -236,28 +236,23 @@ def _compact_prediction(params, predictor, t_frames_M, crt: CompactRayArgs,
     """Image frames from domain-compacted samples: per-sample emission,
     then a sorted segment-sum over pixel ids."""
     from bhnerf_tpu import emission as emission_lib
-    warped, valid = emission_lib.velocity_warp_coords(
-        crt.coords, crt.Omega, t_frames_M, 0.0, crt.t_geos_rel,
-        crt.t_injection, t_units=None, return_mask=True)
     n = crt.coords.shape[-1]
     t_shape = jnp.shape(t_frames_M)
-    warped = jnp.broadcast_to(warped, (*t_shape, n, 3))
-    valid = jnp.broadcast_to(valid, (*t_shape, n))
 
     if fused:
-        from bhnerf_tpu.models.fields import posenc
+        # warp + posenc + MLP all inside the Pallas kernel; the sample
+        # count is already TILE_N-padded by compact_raytracing_args
         from bhnerf_tpu.ops import fused as fused_lib
-        net_input = jnp.where(valid[..., None], warped, 0.0)
-        F = posenc(net_input / predictor.scale, predictor.posenc_deg)
-        feat = F.shape[-1]
-        ntot = int(np.prod(t_shape)) * n
-        cfg = (predictor.net_depth, predictor.net_width, predictor.do_skip)
-        em = fused_lib.fused_mlp_emission(
-            params, F.reshape(ntot, feat),
-            valid.astype(jnp.float32).reshape(ntot, 1), cfg,
-            getattr(predictor, 'compute_dtype', 'float32'))
+        em = fused_lib.render_samples(
+            params, predictor, t_frames_M, crt.coords, crt.Omega,
+            crt.t_geos_rel, crt.t_injection)
         emission = em.reshape(*t_shape, n)
     else:
+        warped, valid = emission_lib.velocity_warp_coords(
+            crt.coords, crt.Omega, t_frames_M, 0.0, crt.t_geos_rel,
+            crt.t_injection, t_units=None, return_mask=True)
+        warped = jnp.broadcast_to(warped, (*t_shape, n, 3))
+        valid = jnp.broadcast_to(valid, (*t_shape, n))
         # domain mask is pre-applied by compaction (and re-masks padding
         # rows whose coords are 0); only t-validity is dynamic here
         emission = predictor.emission_at(params, warped, valid, crt.coords)

@@ -78,3 +78,37 @@ def test_fused_no_skip_depth2(setup):
     out = np.asarray(fused.predict_emission_fused(params, predictor,
                                                   t_frames_M, rt))
     np.testing.assert_allclose(out, ref, atol=2e-6, rtol=1e-4)
+
+
+def test_fused_bf16_gradients_close_to_f32(setup):
+    """compute_dtype='bfloat16' (MXU-native) gradients stay directionally
+    aligned with the f32 XLA reference: cosine similarity per weight
+    matrix > 0.99 and loss within 2%."""
+    import dataclasses
+    predictor, params, rt, t_frames_M = setup
+    bf16 = dataclasses.replace(predictor, compute_dtype='bfloat16')
+    target = jnp.asarray(
+        np.random.default_rng(1).random((3, 8, 8, 16)), jnp.float32)
+
+    def loss_ref(p):
+        em = predict_emission(p, predictor, t_frames_M, rt)
+        return jnp.sum((em - target) ** 2)
+
+    def loss_bf16(p):
+        em = fused.predict_emission_fused(p, bf16, t_frames_M, rt)
+        return jnp.sum((em - target) ** 2)
+
+    l_ref, g_ref = jax.value_and_grad(loss_ref)(params)
+    l_b, g_b = jax.value_and_grad(loss_bf16)(params)
+    np.testing.assert_allclose(float(l_b), float(l_ref), rtol=0.02)
+
+    def cosine(path, a, b):
+        a = np.asarray(a).ravel()
+        b = np.asarray(b).ravel()
+        denom = np.linalg.norm(a) * np.linalg.norm(b)
+        if denom < 1e-12:
+            return
+        cos = float(a @ b / denom)
+        assert cos > 0.99, (path, cos)
+
+    jax.tree_util.tree_map_with_path(cosine, g_ref, g_b)
