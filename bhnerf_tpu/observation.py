@@ -18,12 +18,18 @@ Physics implemented:
 * elevation-limit flagging per station;
 * thermal noise sigma = sqrt(SEFD_i SEFD_j / (2 bw tint)) / 0.88 (the
   standard EHT quantization-corrected radiometer equation);
-* per-scan station gain/phase corruption with the EHT2017-calibrated
-  gain tables of the reference (observation.py:152-155);
+* station gain/phase corruption with the EHT2017-calibrated gain tables
+  of the reference (observation.py:152-155): a constant per-station
+  amplitude offset plus scan-stabilized wander correlated across scans
+  with a Gauss-Markov process of correlation time `sigmat` hours
+  (reference observation.py:160-161 stabilize_scan_* + sigmat);
+* Jones-matrix polarimetric corruption in the circular (R/L) basis with
+  per-station complex D-term leakage (reference dterm_noise path,
+  observation.py:164-168: dcal=False, dterm_offset=0.05, frcal=True so
+  no field-rotation term);
+* amplitude debiasing sqrt(max(|V|^2 - sigma^2, 0)) in chisqdata('amp')
+  (ehtim chisqdata_amp debias=True default);
 * minimal closure-phase triangle sets per scan.
-
-D-term polarization leakage is stubbed (tier-2 fidelity, like the
-reference's dterm_noise=False default).
 """
 from __future__ import annotations
 
@@ -152,7 +158,8 @@ class Observation:
                                 - t_frames_hr[None, :]), axis=1)
 
     # ---- measurement operators -------------------------------------------
-    def chisqdata(self, t_frames, dtype, image_fov, image_size, pol='I'):
+    def chisqdata(self, t_frames, dtype, image_fov, image_size, pol='I',
+                  debias=True):
         """(target, sigma, A) stacked per frame
         (ehtim chisqdata_<dtype> + reference optimization.py:241-255).
 
@@ -161,6 +168,9 @@ class Observation:
               (nt,[pol,]nvis,npix^2) complex
           'cphase': target (nt, ntri), sigma (nt, ntri) [radians], A
               (nt, 3, ntri, npix^2)
+        For 'amp', amplitudes are debiased by default:
+        sqrt(max(|V|^2 - sigma^2, 0)) (ehtim chisqdata_amp debias=True),
+        removing the low-SNR Rice-distribution bias of |V|.
         """
         from bhnerf_tpu import units as units_lib
         if hasattr(t_frames, 'value'):
@@ -201,6 +211,8 @@ class Observation:
                     A[f, k, :n] = ft
             if dtype == 'amp':
                 target = np.abs(target)
+                if debias:
+                    target = amp_debias(target, sigma)
             if len(pols) == 1:
                 # drop only the pol axis — never nt/nvis (nt=1 or nvis=1
                 # must keep the documented (nt, ..., nvis) contract)
@@ -276,6 +288,20 @@ class Observation:
         return rows
 
 
+def amp_debias(amp, sigma):
+    """Debiased visibility amplitude sqrt(max(|V|^2 - sigma^2, 0))
+    (ehtim amp_debias; used by chisqdata_amp with debias=True).
+
+    |V| of a complex-Gaussian-corrupted visibility is Rice-distributed
+    with E[|V|^2] = |V0|^2 + sigma^2; subtracting sigma^2 in quadrature
+    removes the leading-order bias at low SNR. inf/NaN sigmas (padding)
+    pass through as zero-amplitude."""
+    amp = np.asarray(amp, np.float64)
+    s2 = np.where(np.isfinite(sigma), np.asarray(sigma, np.float64),
+                  np.inf) ** 2
+    return np.sqrt(np.clip(amp**2 - s2, 0.0, None))
+
+
 def dft_matrix(u, v, image_fov, image_size):
     """Dense DTFT matrix A (nvis, npix^2): A @ vec(image) = visibilities.
 
@@ -349,22 +375,122 @@ def empty_eht_obs(array, nt, tint, tstart=4.0, tstop=15.5, ra=SGRA_RA,
                        mjd=mjd, bw=bw, tint=tint)
 
 
+def gauss_markov_series(rng, times_hr, n_series, sigmat):
+    """Stationary unit-variance AR(1)/Ornstein-Uhlenbeck draws over scans.
+
+    Correlation between scans at lag dt is exp(-dt / sigmat); sigmat <= 0
+    degenerates to i.i.d. draws. Returns (nscan, n_series)."""
+    times_hr = np.asarray(times_hr, np.float64)
+    out = np.empty((len(times_hr), n_series))
+    out[0] = rng.standard_normal(n_series)
+    for s in range(1, len(times_hr)):
+        rho = (np.exp(-abs(times_hr[s] - times_hr[s - 1]) / sigmat)
+               if sigmat and sigmat > 0 else 0.0)
+        out[s] = (rho * out[s - 1]
+                  + np.sqrt(max(1.0 - rho**2, 0.0))
+                  * rng.standard_normal(n_series))
+    return out
+
+
+def station_jones(obs, rng, station_noise=True, dterm_noise=False,
+                  sigmat=0.25, dterm_offset=0.05, phase_std=2 * np.pi):
+    """Per-scan, per-station Jones components (gains + D-terms).
+
+    Models the reference's noise tier (observation.py:152-187):
+    * constant per-station amplitude offset |1 + GAIN_OFFSET*N(0,1)|,
+      shared between R and L feeds;
+    * scan-stabilized gain wander of std GAINP and phase wander,
+      independent per feed (rlgaincal=False), both Gauss-Markov across
+      scans with correlation time `sigmat` hours (i.i.d. between distant
+      scans, frozen within ~sigmat — the ehtim stabilize_scan_* +
+      sigmat behavior). Phase wander has stationary std `phase_std`
+      (default 2*pi: effectively uniform once decorrelated, matching
+      uncalibrated station phases under adhoc phasing);
+    * complex D-terms per feed, constant in time, std `dterm_offset`
+      per real component (reference observation.py:166).
+
+    Returns (g_R, g_L, d_R, d_L): gains (nscan, ns) complex and D-terms
+    (ns,) complex.
+    """
+    ns = obs.array.nstations
+    g_R = np.ones((obs.nscan, ns), complex)
+    g_L = np.ones((obs.nscan, ns), complex)
+    if station_noise:
+        off = np.array([GAIN_OFFSET.get(n, 0.1) for n in obs.array.names])
+        gp = np.array([GAINP.get(n, 0.05) for n in obs.array.names])
+        const_gain = 1.0 + off * rng.standard_normal(ns)
+        for g in (g_R, g_L):
+            amp_w = gauss_markov_series(rng, obs.times, ns, sigmat)
+            ph_w = gauss_markov_series(rng, obs.times, ns, sigmat)
+            amp = np.abs(const_gain * (1.0 + gp * amp_w))
+            g *= amp * np.exp(1j * phase_std * ph_w)
+    d_R = np.zeros(ns, complex)
+    d_L = np.zeros(ns, complex)
+    if dterm_noise:
+        d_R = dterm_offset * (rng.standard_normal(ns)
+                              + 1j * rng.standard_normal(ns))
+        d_L = dterm_offset * (rng.standard_normal(ns)
+                              + 1j * rng.standard_normal(ns))
+    return g_R, g_L, d_R, d_L
+
+
+def apply_jones_corruption(vis, baselines, g_R, g_L, d_R, d_L):
+    """Corrupt Stokes visibilities with station Jones matrices.
+
+    vis: (nscan, nbl, nstokes<=4) complex Stokes [I, Q, U, V];
+    g_R/g_L: (nscan, ns); d_R/d_L: (ns,). Computes
+    rho' = J_i rho J_j^dagger in the circular basis with
+    J = diag(gR, gL) @ [[1, dR], [dL, 1]] (frcal=True: no field-rotation
+    term), then maps back to Stokes. Matches the reference's
+    jones=True/inv_jones=True path where only the uncalibrated effects
+    (gain errors, leakage) survive.
+    """
+    nscan, nbl, nstokes = vis.shape
+    z = np.zeros((nscan, nbl), complex)
+    I = vis[..., 0]
+    Q = vis[..., 1] if nstokes > 1 else z
+    U = vis[..., 2] if nstokes > 2 else z
+    V = vis[..., 3] if nstokes > 3 else z
+
+    RR, LL = I + V, I - V
+    RL, LR = Q + 1j * U, Q - 1j * U
+
+    i, j = baselines[:, 0], baselines[:, 1]
+    dRi, dLi = d_R[i], d_L[i]
+    dRj_c, dLj_c = np.conj(d_R[j]), np.conj(d_L[j])
+
+    # M = D_i rho D_j^dagger
+    M11 = RR + dRi * LR + (RL + dRi * LL) * dRj_c
+    M12 = (RR + dRi * LR) * dLj_c + (RL + dRi * LL)
+    M21 = dLi * RR + LR + (dLi * RL + LL) * dRj_c
+    M22 = (dLi * RR + LR) * dLj_c + (dLi * RL + LL)
+
+    gRi, gLi = g_R[:, i], g_L[:, i]
+    gRj_c, gLj_c = np.conj(g_R[:, j]), np.conj(g_L[:, j])
+    RRp = gRi * gRj_c * M11
+    RLp = gRi * gLj_c * M12
+    LRp = gLi * gRj_c * M21
+    LLp = gLi * gLj_c * M22
+
+    out = np.stack([(RRp + LLp) / 2, (RLp + LRp) / 2,
+                    (RLp - LRp) / 2j, (RRp - LLp) / 2], axis=-1)
+    return out[..., :nstokes]
+
+
 def observe_same(movie, times_hr, psize, obs, thermal_noise=True,
                  station_noise=False, dterm_noise=False, sigmat=0.25,
-                 seed=False):
+                 seed=False, dterm_offset=0.05):
     """Observe a movie with the array: DFT sampling + noise corruption
     (reference observation.py:121-187 wrapping ehtim observe_same).
 
     movie: (nt, [nstokes,] ny, nx) Jy/pixel; times_hr: frame times;
     psize: pixel size in radians. Returns a new Observation with vis.
 
-    Station noise follows the reference's model tier: per-station constant
-    gain offsets + per-scan gain/phase wander (stabilize_scan_* = True);
-    D-term leakage is not yet modeled (reference default dcal=True).
+    Noise tiers match the reference: thermal (radiometer sigma),
+    station gains/phases (scan-stabilized, Gauss-Markov correlation time
+    `sigmat` hours), and Jones D-term polarization leakage of std
+    `dterm_offset` when dterm_noise=True.
     """
-    if dterm_noise:
-        raise NotImplementedError('D-term leakage is a tier-2 fidelity '
-                                  'feature not yet implemented')
     movie = np.asarray(movie)
     if movie.ndim == 3:
         movie = movie[:, None]
@@ -385,18 +511,13 @@ def observe_same(movie, times_hr, psize, obs, thermal_noise=True,
         frame = movie[frame_of_scan[s]].reshape(nstokes, -1)
         vis[s, val] = (A @ frame.T)
 
-    # station corruption
-    if station_noise:
-        ns = obs.array.nstations
-        off = np.array([GAIN_OFFSET.get(n, 0.1) for n in obs.array.names])
-        gp = np.array([GAINP.get(n, 0.05) for n in obs.array.names])
-        const_gain = 1.0 + off * rng.standard_normal(ns)
-        for s in range(obs.nscan):
-            g_amp = np.abs(const_gain * (1.0 + gp * rng.standard_normal(ns)))
-            g_phase = rng.uniform(-np.pi, np.pi, ns)
-            g = g_amp * np.exp(1j * g_phase)
-            b0, b1 = obs.baselines[:, 0], obs.baselines[:, 1]
-            vis[s] *= (g[b0] * np.conj(g[b1]))[:, None]
+    if station_noise or dterm_noise:
+        g_R, g_L, d_R, d_L = station_jones(
+            obs, rng, station_noise=station_noise,
+            dterm_noise=dterm_noise, sigmat=sigmat,
+            dterm_offset=dterm_offset)
+        vis = apply_jones_corruption(vis, obs.baselines, g_R, g_L,
+                                     d_R, d_L)
 
     if thermal_noise:
         noise = (rng.standard_normal(vis.shape)

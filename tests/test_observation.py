@@ -192,3 +192,109 @@ def test_eht_visibility_recovery(obs_empty):
         losses.append(float(np.asarray(loss)))
     assert np.mean(losses[-10:]) < np.mean(losses[:10]) / 10.0, (
         np.mean(losses[:10]), np.mean(losses[-10:]))
+
+
+def test_sigmat_gain_correlation(array):
+    """Gauss-Markov gain wander: scans within the correlation time share
+    gains; distant scans decorrelate (reference sigmat semantics)."""
+    obs = obs_lib.empty_eht_obs(array, nt=40, tint=60.0, tstart=4.0,
+                                tstop=8.0)  # 6-min scan spacing
+    rng = np.random.default_rng(0)
+    g_R, _, _, _ = obs_lib.station_jones(obs, rng, station_noise=True,
+                                         sigmat=10.0)
+    amp = np.abs(g_R)
+    lag1_long = np.mean([np.corrcoef(amp[:-1, s], amp[1:, s])[0, 1]
+                         for s in range(amp.shape[1] - 1)])  # skip SR(=0)
+    rng = np.random.default_rng(0)
+    g_R, _, _, _ = obs_lib.station_jones(obs, rng, station_noise=True,
+                                         sigmat=1e-4)
+    amp = np.abs(g_R)
+    lag1_short = np.mean([np.corrcoef(amp[:-1, s], amp[1:, s])[0, 1]
+                          for s in range(amp.shape[1] - 1)])
+    assert lag1_long > 0.9, lag1_long
+    assert abs(lag1_short) < 0.5, lag1_short
+
+
+def test_gain_wander_statistics(array):
+    """Per-station gain amplitude std matches the EHT2017 GAINP table and
+    the constant offset matches GAIN_OFFSET across realizations."""
+    obs = obs_lib.empty_eht_obs(array, nt=6, tint=60.0)
+    lmt = obs.array.names.index('LMT')
+    alma = obs.array.names.index('ALMA')
+    const_spread, wander = [], []
+    for seed in range(400):
+        rng = np.random.default_rng(seed)
+        g_R, _, _, _ = obs_lib.station_jones(obs, rng, station_noise=True,
+                                             sigmat=1e-6)
+        amp = np.abs(g_R)
+        const_spread.append(amp[:, lmt].mean())
+        wander.append(amp[:, alma].std() / max(amp[:, alma].mean(), 1e-9))
+    # LMT: 0.6 offset std dominates the mean-gain spread
+    assert 0.35 < np.std(const_spread) < 0.9, np.std(const_spread)
+    # ALMA: within-observation wander ~ GAINP=0.05
+    assert 0.02 < np.mean(wander) < 0.1, np.mean(wander)
+
+
+def test_dterm_leakage_injects_polarization(obs_empty):
+    """A pure-Stokes-I source leaks into Q/U at O(d * I) under D-term
+    corruption; without dterm_noise Q/U stay exactly zero."""
+    npix = 16
+    psize = 1e-10
+    movie = np.zeros((2, 4, npix, npix))
+    movie[:, 0, npix // 2, npix // 2] = 1.0  # I only
+    times = np.array([6.0, 10.0])
+    clean = obs_lib.observe_same(movie, times, psize, obs_empty,
+                                 thermal_noise=False)
+    np.testing.assert_allclose(np.abs(clean.vis[clean.mask][:, 1:3]), 0.0,
+                               atol=1e-12)
+    leaky = obs_lib.observe_same(movie, times, psize, obs_empty,
+                                 thermal_noise=False, dterm_noise=True,
+                                 seed=7)
+    p = np.abs(leaky.vis[leaky.mask][:, 1:3])
+    assert p.max() > 0.01, p.max()       # leakage present, O(0.05 * I)
+    assert p.max() < 0.5, p.max()        # ...but perturbative
+    # Stokes I barely affected (O(d^2))
+    np.testing.assert_allclose(np.abs(leaky.vis[leaky.mask][:, 0]), 1.0,
+                               rtol=0.05)
+
+
+def test_dterm_roundtrip_identity():
+    """apply_jones_corruption with identity gains and zero D-terms is a
+    no-op for full-Stokes visibilities."""
+    rng = np.random.default_rng(0)
+    nscan, nbl = 3, 5
+    vis = rng.standard_normal((nscan, nbl, 4)) \
+        + 1j * rng.standard_normal((nscan, nbl, 4))
+    baselines = np.array([[0, 1], [0, 2], [1, 2], [1, 3], [2, 3]])
+    g = np.ones((nscan, 4), complex)
+    d = np.zeros(4, complex)
+    out = obs_lib.apply_jones_corruption(vis, baselines, g, g, d, d)
+    np.testing.assert_allclose(out, vis, atol=1e-12)
+
+
+def test_amp_debias_low_snr(obs_empty):
+    """|V| of pure noise is Rice-biased; debiasing drives the mean toward
+    zero; chisqdata('amp') applies it by default."""
+    npix = 16
+    psize = 1e-10
+    movie = np.zeros((2, npix, npix))  # zero flux: amps are pure noise
+    times = np.array([6.0, 10.0])
+    obs = obs_lib.observe_same(movie, times, psize, obs_empty,
+                               thermal_noise=True, seed=11)
+    t_frames = units.Quantity(times, 'hr')
+    amp_raw, sigma, _ = obs.chisqdata(t_frames, 'amp', psize * npix, npix,
+                                      debias=False)
+    amp_deb, _, _ = obs.chisqdata(t_frames, 'amp', psize * npix, npix)
+    finite = np.isfinite(sigma)
+    # Rayleigh noise amplitudes: E[|V|] = sigma*sqrt(pi/2) ~ 1.25 sigma;
+    # debiased: E[sqrt(max(|V|^2-s^2,0))] = e^{-1/2} Gamma(3/2) sqrt(2) s
+    # ~ 0.76 sigma
+    raw = np.mean(amp_raw[finite] / sigma[finite])
+    deb = np.mean(amp_deb[finite] / sigma[finite])
+    assert 1.0 < raw < 1.5, raw
+    assert 0.55 < deb < 0.95, deb
+    assert deb < raw - 0.3
+    np.testing.assert_allclose(
+        amp_deb[finite],
+        np.sqrt(np.clip(amp_raw[finite] ** 2 - sigma[finite] ** 2, 0,
+                        None)), rtol=1e-10)
