@@ -116,11 +116,14 @@ def image_plane_checkpoint(raytracing_args, checkpoint_dir, t, rmin=0.0,
     state = TrainState.create(params, make_optimizer(10))
     state = restore_checkpoint(checkpoint_dir, state)
 
-    rt0 = np.atleast_1d(raytracing_args)[0]
-    num_stokes = rt0.num_stokes
+    # evaluate over the FULL sub-pixel-ray ensemble: test-mode TrainStep
+    # averages all variants (reference network.py:905 passes the whole
+    # raytracing_args list into total_movie_loss)
+    rt_list = list(np.atleast_1d(raytracing_args))
+    num_stokes = rt_list[0].num_stokes
     train_step = TrainStep.image(t, np.zeros((len(t), num_stokes)),
                                  predictor, dtype='lc')
-    _, image_plane = total_movie_loss(batchsize, state, train_step, rt0,
+    _, image_plane = total_movie_loss(batchsize, state, train_step, rt_list,
                                       return_frames=True)
     return image_plane
 

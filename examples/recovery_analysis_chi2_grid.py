@@ -1,0 +1,120 @@
+"""Recovery analysis: chi^2(inclination) grid scan over trained checkpoints.
+
+Runnable equivalent of the reference's "Synthetic lightcurves 2/2.1"
+notebooks (cells 8-9): generate a synthetic polarized lightcurve at a true
+inclination, fit recoveries over an inclination x seed grid, score every
+checkpoint with alma.chi2_df, and verify chi^2 minimizes at the truth.
+
+Run:  python examples/recovery_analysis_chi2_grid.py [--small]
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+import numpy as np
+
+
+def main(out_dir='example_outputs', small=False):
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+
+    from bhnerf_tpu import alma, emission, units
+    from bhnerf_tpu.models import NeRFPredictor
+    from bhnerf_tpu.train import Optimizer, TrainStep
+
+    os.makedirs(out_dir, exist_ok=True)
+    true_inc = 60.0
+    spin = 0.0
+    inclinations = [45.0, 60.0, 75.0] if small else \
+        [40.0, 50.0, 60.0, 70.0, 80.0]
+    seeds = [1] if small else [1, 2]
+    num_iters = 200 if small else 2000
+    num_subpixel_rays = 2 if small else 4
+
+    params = {
+        'spin': spin, 'fov_M': 16.0, 'z_width': 2.0, 'rmin': 'ISCO',
+        'Q_frac': 0.85, 'b_consts': {'arad': 0, 'avert': 1, 'ator': 0},
+        'Omega_dir': 'cw', 'Omega_frac': 1.0,
+        'num_alpha': 16 if small else 32,
+        'num_beta': 16 if small else 32, 't_start_obs': 9.4,
+    }
+    nt = 24 if small else 48
+    t_frames = units.Quantity(np.linspace(9.4, 10.2, nt), 'hr')
+
+    # ---- synthetic polarized lightcurve at the TRUE inclination ----------
+    print(f'# generating synthetic Q/U lightcurves at inc={true_inc}')
+    geos, Omega, J = alma.image_plane_model(np.deg2rad(true_inc), spin,
+                                            params)
+    t_injection = -float(geos.r_o + params['fov_M'] / 4)
+    rmin = alma.constants.isco_pro(spin)
+    hotspot = emission.generate_hotspot(
+        resolution=(32, 32, 32), rot_axis=[0, 0, 1], rot_angle=0.0,
+        orbit_radius=1.2 * rmin, std=0.6, r_isco=float(rmin),
+        fov=params['fov_M'])
+    movie = np.asarray(emission.image_plane_dynamics(
+        hotspot, geos, Omega, t_frames, t_injection, J=J,
+        t_start_obs=units.Quantity(params['t_start_obs'], 'hr')))
+    target = movie.sum(axis=(-1, -2))        # (nt, 3) I/Q/U lightcurves
+    sigma = np.array([0.05, 0.01, 0.01]) * max(target[:, 0].max(), 1e-12)
+
+    # ---- fit recoveries over the inclination x seed grid ------------------
+    ckpt_fmt = os.path.join(out_dir, 'chi2_grid', 'inc{}', 'seed{}')
+    ckpt_name = f'checkpoint_{num_iters}'
+    for inc in inclinations:
+        rt_list = alma.get_raytracing_args(
+            np.deg2rad(inc), spin, params, stokes=('I', 'Q', 'U'),
+            num_subpixel_rays=num_subpixel_rays,
+            rng=np.random.default_rng(0))
+        for seed in seeds:
+            ckpt_dir = ckpt_fmt.format(inc, seed)
+            if os.path.exists(os.path.join(ckpt_dir, ckpt_name)):
+                print(f'# inc={inc} seed={seed}: checkpoint exists, skip')
+                continue
+            print(f'# fitting inc={inc} seed={seed}')
+            predictor = NeRFPredictor(
+                scale=params['fov_M'] / 2, rmin=float(rmin),
+                rmax=params['fov_M'] / 2, z_width=params['z_width'],
+                net_depth=3, net_width=32)
+            train_step = TrainStep.image(t_frames, target, predictor,
+                                         sigma=sigma, dtype='lc')
+            optimizer = Optimizer(
+                {'num_iters': num_iters, 'lr_init': 5e-3,
+                 'lr_final': 1e-4, 'seed': seed}, predictor, rt_list,
+                checkpoint_dir=ckpt_dir)
+            np.random.seed(seed)
+            optimizer.run(batchsize=6, train_step=train_step,
+                          raytracing_args=rt_list, verbose=not small)
+
+    # ---- chi^2 grid scan ---------------------------------------------------
+    print('# scoring the checkpoint grid with alma.chi2_df')
+    df = alma.chi2_df(inclinations, spin, seeds, params, ckpt_fmt,
+                      t_frames, target, sigma=sigma,
+                      num_subpixel_rays=num_subpixel_rays,
+                      checkpoint_name=ckpt_name)
+    print(df)
+    best = df.mean(axis=1).idxmin()
+    print(f'# chi^2 minimized at inc={best} (true {true_inc})')
+
+    fig, ax = plt.subplots(figsize=(5, 3.5))
+    ax.plot(df.index, df.mean(axis=1), 'o-', label='mean over seeds')
+    ax.axvline(true_inc, color='k', ls='--', label='true inclination')
+    ax.set_xlabel('inclination [deg]')
+    ax.set_ylabel(r'$\chi^2$')
+    ax.legend()
+    fig.tight_layout()
+    path = os.path.join(out_dir, 'chi2_inclination_scan.png')
+    fig.savefig(path, dpi=120)
+    print('wrote', path)
+    assert best == true_inc, (best, true_inc)
+    return df
+
+
+if __name__ == '__main__':
+    p = argparse.ArgumentParser()
+    p.add_argument('--out', default='example_outputs')
+    p.add_argument('--small', action='store_true')
+    args = p.parse_args()
+    main(args.out, args.small)
