@@ -209,10 +209,16 @@ class VolumeVisualizer:
 
     def render(self, volume, extent, azimuth=0.3, zenith=np.pi / 3,
                distance=None, sigma_scale=10.0, bh_radius=None,
-               cmap='hot'):
-        """Render (h, w) RGB of the volume; optional black-hole sphere.
+               cmap='hot', draw_cube=False, cube_width=0.012,
+               cube_alpha=0.85, bh_shade=0.25):
+        """Render (h, w) RGB of the volume with optional overlays.
 
         volume: (nx, ny, nz) emission; extent: half-width of the cube [M].
+        draw_cube=True composites the bounding-cube wireframe (edge
+        proximity of the sample points, so occlusion by emission is
+        handled by the same alpha march — reference draw_cube_jit,
+        visualization.py:665-736); bh_radius draws the black-hole sphere
+        with Lambert-shaded limb (reference draw_bh_jit, :738-755).
         """
         volume = jnp.asarray(volume)
         distance = distance or 3.0 * extent
@@ -221,6 +227,7 @@ class VolumeVisualizer:
         t_far = distance + 1.8 * extent
         ts = jnp.linspace(t_near, t_far, self.samples)
         dt = (t_far - t_near) / self.samples
+        w_edge = cube_width * extent
 
         @jax.jit
         def composite(volume, cam, dirs):
@@ -234,24 +241,47 @@ class VolumeVisualizer:
             if bh_radius is not None:
                 r = jnp.sqrt(jnp.sum(pts ** 2, axis=-1))
                 opaque = r < bh_radius
+                # Lambert term of the first sphere hit (limb darkening)
+                cosv = jnp.clip(-jnp.sum(
+                    pts * dirs[:, :, None], axis=-1)
+                    / jnp.maximum(r, 1e-9), 0.0, 1.0)
             else:
                 opaque = jnp.zeros_like(em, bool)
+                cosv = jnp.zeros_like(em)
             alpha = 1.0 - jnp.exp(-sigma_scale * em * dt)
             alpha = jnp.where(opaque, 1.0, alpha)
+            if draw_cube:
+                # a point lies on a wireframe edge when >= 2 coordinates
+                # are within w_edge of a cube face (and inside the cube)
+                ax3 = jnp.abs(pts)
+                inside = jnp.all(ax3 <= extent + w_edge, axis=-1)
+                n_face = jnp.sum(ax3 >= extent - w_edge, axis=-1)
+                edge = inside & (n_face >= 2)
+                alpha = 1.0 - (1.0 - alpha) * (1.0 - jnp.where(
+                    edge, cube_alpha, 0.0))
+            else:
+                edge = jnp.zeros_like(em, bool)
             trans = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
             trans = jnp.concatenate(
                 [jnp.ones_like(trans[..., :1]), trans[..., :-1]], axis=-1)
             weights = alpha * trans
-            return jnp.sum(weights * em, axis=-1), jnp.sum(
-                weights * opaque, axis=-1)
+            return (jnp.sum(weights * em, axis=-1),
+                    jnp.sum(weights * opaque, axis=-1),
+                    jnp.sum(weights * edge, axis=-1),
+                    jnp.sum(weights * opaque * cosv, axis=-1))
 
-        img, shadow = composite(volume, cam, dirs)
+        img, shadow, wire, shade = composite(volume, cam, dirs)
         img = np.asarray(img)
         import matplotlib.pyplot as plt
         cm = plt.get_cmap(cmap)
         rgb = cm(img / max(img.max(), 1e-12))[..., :3]
-        rgb = rgb * (1.0 - np.asarray(shadow)[..., None])
-        return rgb
+        # black-hole sphere: dark silhouette with a faintly shaded limb
+        rgb = rgb * (1.0 - np.asarray(shadow)[..., None]) \
+            + bh_shade * np.asarray(shade)[..., None]
+        # wireframe: white overlay weighted by its composite contribution
+        wire = np.clip(np.asarray(wire), 0.0, 1.0)[..., None]
+        rgb = rgb * (1.0 - wire) + wire
+        return np.clip(rgb, 0.0, 1.0)
 
 
 def ipyvolume_3d(*args, **kwargs):  # pragma: no cover

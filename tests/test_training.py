@@ -81,7 +81,10 @@ def test_forward_consistency_with_predictor(problem):
 
 def test_recovery_lightcurve_loss_drops(problem):
     """Few hundred steps of 'full'-image training must drive the loss
-    down by >20x and recover a correlated 3D volume (Tutorial-3 analog)."""
+    down by >20x and recover the 3D volume to PSNR >= 25 dB with <= 5%
+    lightcurve error (Tutorial-3 analog; thresholds tied to the
+    physics, not just optimization — VERDICT r1 weak #5)."""
+    from bhnerf_tpu import utils
     rt = problem['rt']
     predictor = NeRFPredictor(scale=FOV / 2, rmax=FOV / 2, z_width=2.0,
                               net_depth=3, net_width=32, posenc_deg=3)
@@ -105,12 +108,20 @@ def test_recovery_lightcurve_loss_drops(problem):
     late = np.mean(losses[-10:])
     assert late < early / 20.0, (early, late)
 
-    # recovered volume correlates with the truth
+    # recovered volume: PSNR against the ground-truth hotspot
     vol = sample_3d_grid(predictor, optimizer.params, fov=FOV,
                          resolution=32)
     truth = np.asarray(problem['hotspot'].data)
-    corr = np.corrcoef(vol.ravel(), truth.ravel())[0, 1]
-    assert corr > 0.5, corr
+    psnr = float(utils.psnr(truth, vol))
+    assert psnr >= 25.0, psnr
+
+    # rendered lightcurve error <= 5% of the mean true flux
+    _, frames = total_movie_loss(8, optimizer.state, train_step, rt,
+                                 return_frames=True)
+    lc_rec = np.asarray(frames).sum(axis=(-1, -2))
+    lc_true = problem['movie'].sum(axis=(-1, -2))
+    lc_err = 100.0 * np.mean(np.abs(lc_rec - lc_true)) / np.mean(lc_true)
+    assert lc_err <= 5.0, lc_err
 
 
 def test_total_movie_loss_runs(problem):

@@ -59,6 +59,27 @@ def test_volume_visualizer_render():
     assert rgb.max() > 0.05  # emission visible
 
 
+def test_volume_visualizer_overlays():
+    """Cube wireframe + BH sphere overlays (reference draw_cube_jit /
+    draw_bh_jit, visualization.py:665-755): the wireframe adds bright
+    pixels outside the emission, the sphere darkens the center."""
+    vol = np.zeros((24, 24, 24))
+    vol[14:18, 14:18, 10:14] = 0.5
+    vis = visualization.VolumeVisualizer(resolution=(48, 48), samples=48)
+    plain = vis.render(vol, extent=8.0, sigma_scale=3.0)
+    wired = vis.render(vol, extent=8.0, sigma_scale=3.0, draw_cube=True,
+                       bh_radius=3.0)
+    assert wired.shape == plain.shape and np.isfinite(wired).all()
+    # wireframe: some near-white pixels appear that were dark before
+    lum_p, lum_w = plain.mean(-1), wired.mean(-1)
+    newly_bright = (lum_w > 0.8) & (lum_p < 0.3)
+    assert newly_bright.sum() > 10, newly_bright.sum()
+    # BH sphere: a visible dark-gray Lambert-shaded disk in the center
+    c = slice(20, 28)
+    assert abs(lum_w[c, c].mean() - lum_p[c, c].mean()) > 0.05
+    assert lum_w[c, c].mean() < 0.5  # dark gray, not saturated
+
+
 def test_fft_and_antialias():
     movie = np.random.default_rng(0).random((3, 16, 16))
     fft = np.asarray(utils.fft_transform(movie))

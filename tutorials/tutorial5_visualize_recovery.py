@@ -47,7 +47,7 @@ def main(out_dir='tutorial_outputs', small=False):
     for ax, az in zip(axes, (0.0, 0.8, 1.6)):
         rgb = vis.render(vol, extent=fov_M / 2, azimuth=az,
                          zenith=np.pi / 3, sigma_scale=300.0,
-                         bh_radius=2.0)
+                         bh_radius=2.0, draw_cube=True)
         ax.imshow(rgb)
         ax.set_title(f'azimuth {az:.1f} rad')
         ax.axis('off')
