@@ -5,12 +5,18 @@ Workload matches the reference's production configuration (SURVEY.md §6):
 batch of 6 frames per step, full-image chi^2 loss — forward + backward +
 adam update per step.
 
-Prints ONE JSON line:
-  {"metric": "train_ray_samples_per_sec", "value": N, "unit": "samples/s",
-   "vs_baseline": R}
-vs_baseline is measured against the reference's published numbers — the
-reference publishes none (BASELINE.md), so R is computed against the
-north-star proxy of 1 step/s at this workload size (2.46M ray-samples/s).
+Prints ONE JSON line. Headline metric (round-over-round comparable):
+  train_ray_samples_per_sec — workload throughput counting every ray
+  sample of the 64x64x100 grid (including the ~83% that the static
+  domain compaction removes before the MLP).
+Extra keys make the number honest (VERDICT r1 weak #2/#7):
+  steps_per_sec, mlp_samples_per_sec (samples that actually hit the MLP),
+  model_tflops (analytic matmul FLOPs, fwd+bwd, unpadded dims),
+  mfu (model_tflops / chip peak), compute_dtype, and
+  vs_baseline = speedup over the MEASURED dense pure-XLA path on the same
+  chip — i.e. a faithful port of the reference's semantics without the
+  domain compaction + fused Pallas kernel (reference network.py:566-682
+  evaluates the MLP on every ray sample through stock XLA).
 """
 import json
 import os
@@ -23,8 +29,50 @@ os.environ['JAX_PLATFORMS'] = ''
 
 import numpy as np
 
+# chip peak dense-matmul throughput (bf16, FLOP/s). MFU is conventionally
+# reported against the native MXU peak regardless of achieved precision.
+PEAK_FLOPS = {
+    'TPU v5 lite': 197e12,          # v5e
+    'TPU v5': 459e12,               # v5p
+    'TPU v4': 275e12,
+    'TPU v6 lite': 918e12,          # v6e / Trillium
+}
+
+
+def mlp_flops_per_sample(predictor):
+    """Analytic fwd matmul FLOPs per sample (2*K*N per layer, true dims)."""
+    from bhnerf_tpu.models.fields import posenc_feature_dim
+    in_dim = posenc_feature_dim(3, predictor.posenc_deg)
+    skip = predictor.net_depth // 2 if predictor.do_skip else None
+    dims, d = [], in_dim
+    for i in range(predictor.net_depth):
+        dims.append((d, predictor.net_width))
+        d = predictor.net_width
+        if predictor.do_skip and i > 0 and i % skip == 0:
+            d += in_dim
+    dims.append((d, predictor.out_channel))
+    return 2 * sum(k * n for k, n in dims)
+
+
+def time_steps(grad_step, state, batch_args, rt, n_steps):
+    import jax
+    loss, state, _ = grad_step(state, *batch_args, rt, 1.0)
+    jax.block_until_ready(loss)  # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        loss, state, _ = grad_step(state, *batch_args, rt, 1.0)
+    jax.block_until_ready(loss)
+    return n_steps / (time.perf_counter() - t0), float(np.asarray(loss))
+
+
+def rand_indices(rng, nt, batch, n_steps):
+    return [np.asarray(rng.choice(nt, batch, replace=False), np.int32)
+            for _ in range(n_steps + 1)]
+
 
 def main():
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -37,7 +85,7 @@ def main():
         print(f'# [{time.strftime("%H:%M:%S")}] {msg}', file=sys.stderr,
               flush=True)
 
-    from bhnerf_tpu import constants, units
+    from bhnerf_tpu import constants, emission, units
     from bhnerf_tpu.geodesics import image_plane_geos
     from bhnerf_tpu.models import NeRFPredictor
     from bhnerf_tpu.train import TrainState, make_optimizer, raytracing_args
@@ -48,6 +96,7 @@ def main():
     batch = 6
     nt = 64
     fov = 16.0
+    compute_dtype = os.environ.get('BENCH_COMPUTE_DTYPE', 'bfloat16')
 
     mark(f'backend={jax.default_backend()} tracing geodesics')
     geos = image_plane_geos(
@@ -63,57 +112,85 @@ def main():
 
     predictor = NeRFPredictor(scale=fov / 2, rmin=3.0, rmax=fov / 2,
                               z_width=2.0, net_depth=4, net_width=128,
-                              posenc_deg=3)
-    params = predictor.init_params(seed=0)
-    state = TrainState.create(params, make_optimizer(50000))
-    # domain compaction + fused Pallas MLP kernel: the optimized TPU path
-    rt = compact_raytracing_args(rt, predictor)
+                              posenc_deg=3, compute_dtype=compute_dtype)
+    # domain compaction + fused Pallas kernel: the optimized TPU path
+    crt = compact_raytracing_args(rt, predictor)
+    n_eff = int(np.asarray(emission.domain_mask(
+        rt.coords, predictor.rmin, predictor.rmax,
+        predictor.z_width)).sum())
 
+    # production step path: full frame tensors device-resident, the
+    # frame-batch gather inside the jitted step (one dispatch per step —
+    # what train.Optimizer runs)
     rng = np.random.default_rng(0)
-    target = jnp.asarray(rng.random((batch, num_alpha, num_beta),
+    target = jnp.asarray(rng.random((nt, num_alpha, num_beta),
                                     dtype=np.float32))
     sigma = jnp.ones_like(target)
     offset = jnp.zeros_like(target)
-    t_batch = jnp.asarray(t_frames[:batch])
+    t_all = jnp.asarray(t_frames)
+    inds = np.asarray(rng.choice(nt, batch, replace=False), np.int32)
+    batch_args = (target, sigma, offset, t_all, inds)
 
-    # compile + warmup (fall back to the pure-XLA path if the Pallas
-    # kernel fails to compile on this TPU generation)
-    mark('geodesics done, compiling train step')
+    mark('geodesics done, compiling fused train step')
     try:
+        state = TrainState.create(predictor.init_params(seed=0),
+                                  make_optimizer(50000))
         grad_step, _ = make_step_fns(predictor, kind='image', dtype='full',
-                                     donate_state=True, fused=True)
-        loss, state, _ = grad_step(state, target, sigma, offset, t_batch,
-                                   rt, 1.0)
-        jax.block_until_ready(loss)
+                                     donate_state=True, fused=True,
+                                     gather=True)
+        steps_per_sec, loss = time_steps(grad_step, state, batch_args, crt,
+                                         n_steps=50)
     except Exception as e:  # pragma: no cover - hardware dependent
-        mark(f'fused kernel unavailable ({type(e).__name__}); XLA fallback')
+        mark(f'fused kernel unavailable ({type(e).__name__}: {e}); '
+             'XLA-compact fallback')
+        compute_dtype = 'float32'
+        predictor = dataclasses.replace(predictor, compute_dtype='float32')
+        state = TrainState.create(predictor.init_params(seed=0),
+                                  make_optimizer(50000))
         grad_step, _ = make_step_fns(predictor, kind='image', dtype='full',
-                                     donate_state=True, fused=False)
-        loss, state, _ = grad_step(state, target, sigma, offset, t_batch,
-                                   rt, 1.0)
-        jax.block_until_ready(loss)
-    mark('compile done, timing')
+                                     donate_state=True, fused=False,
+                                     gather=True)
+        steps_per_sec, loss = time_steps(grad_step, state, batch_args, crt,
+                                         n_steps=50)
 
-    n_steps = 30
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        loss, state, _ = grad_step(state, target, sigma, offset, t_batch,
-                                   rt, 1.0)
-    jax.block_until_ready(loss)
-    dt = time.perf_counter() - t0
+    # measured baseline: dense pure-XLA path, reference semantics (every
+    # ray sample through the MLP, stock XLA fusion, f32)
+    mark(f'fused path: {steps_per_sec:.2f} steps/s; compiling dense '
+         'XLA baseline')
+    base_pred = dataclasses.replace(predictor, compute_dtype='float32')
+    base_state = TrainState.create(base_pred.init_params(seed=0),
+                                   make_optimizer(50000))
+    base_step, _ = make_step_fns(base_pred, kind='image', dtype='full',
+                                 donate_state=True, fused=False,
+                                 gather=True)
+    base_steps_per_sec, _ = time_steps(base_step, base_state, batch_args,
+                                       rt, n_steps=10)
 
-    steps_per_sec = n_steps / dt
+    flops_fwd = mlp_flops_per_sample(predictor)
+    model_flops_per_step = 3 * flops_fwd * n_eff * batch  # fwd + bwd(2x)
+    model_tflops = model_flops_per_step * steps_per_sec / 1e12
+    chip = jax.devices()[0].device_kind
+    peak = PEAK_FLOPS.get(chip)
+    mfu = model_tflops * 1e12 / peak if peak else None
+
     ray_samples_per_sec = steps_per_sec * batch * num_alpha * num_beta * ngeo
-    baseline_proxy = 1.0 * batch * num_alpha * num_beta * ngeo  # 1 step/s
     print(json.dumps({
         'metric': 'train_ray_samples_per_sec',
         'value': round(ray_samples_per_sec),
         'unit': 'samples/s',
-        'vs_baseline': round(ray_samples_per_sec / baseline_proxy, 3),
+        'vs_baseline': round(steps_per_sec / base_steps_per_sec, 3),
+        'steps_per_sec': round(steps_per_sec, 2),
+        'baseline_dense_xla_steps_per_sec': round(base_steps_per_sec, 2),
+        'mlp_samples_per_sec': round(steps_per_sec * batch * n_eff),
+        'model_tflops': round(model_tflops, 2),
+        'mfu': round(mfu, 4) if mfu is not None else None,
+        'peak_tflops': peak / 1e12 if peak else None,
+        'chip': chip,
+        'compute_dtype': compute_dtype,
     }))
-    print(f'# steps/sec: {steps_per_sec:.2f}  backend: '
-          f'{jax.default_backend()}  loss: {float(np.asarray(loss)):.3f}',
-          file=sys.stderr)
+    print(f'# steps/sec: {steps_per_sec:.2f} (dense XLA baseline '
+          f'{base_steps_per_sec:.2f})  backend: {jax.default_backend()}  '
+          f'loss: {loss:.3f}', file=sys.stderr)
 
 
 if __name__ == '__main__':

@@ -1,0 +1,123 @@
+"""End-to-end recovery benchmark: the README / BASELINE.md north star.
+
+Runs the Tutorial-3 production workload (64x64 rays x ngeo=100, 64
+frames, 1000 iterations, domain compaction + fused Pallas kernel) on the
+real chip and prints ONE JSON line:
+
+  {"metric": "time_to_recover", "wall_s": ..., "psnr_3d": ...,
+   "lc_err_pct": ...}
+
+wall_s is training time only (geodesic precompute + compiles excluded —
+both are one-time, cached costs); psnr_3d is the recovered-vs-true 3D
+volume PSNR on a 64^3 grid; lc_err_pct is the mean absolute lightcurve
+error of the recovered movie in percent of the mean true flux
+(BASELINE.md target: < 1%).
+"""
+import json
+import os
+import sys
+import time
+
+os.environ['JAX_PLATFORMS'] = ''
+
+import numpy as np
+
+
+def main(num_iters=1000, small=False):
+    import jax
+
+    jax.config.update('jax_compilation_cache_dir',
+                      '/tmp/bhnerf_tpu_jax_cache')
+    jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.3)
+
+    def mark(msg):
+        print(f'# [{time.strftime("%H:%M:%S")}] {msg}', file=sys.stderr,
+              flush=True)
+
+    from bhnerf_tpu import constants, emission, units, utils
+    from bhnerf_tpu.models import NeRFPredictor, sample_3d_grid
+    from bhnerf_tpu.geodesics import image_plane_geos
+    from bhnerf_tpu.train import (Optimizer, TrainStep, raytracing_args,
+                                  total_movie_loss)
+    from bhnerf_tpu.train.step import compact_raytracing_args
+
+    spin, inc = 0.2, np.deg2rad(60.0)
+    fov_M = 16.0
+    num = 16 if small else 64
+    ngeo = 32 if small else 100
+    nt = 16 if small else 64
+    compute_dtype = os.environ.get('BENCH_COMPUTE_DTYPE', 'bfloat16')
+
+    mark(f'backend={jax.default_backend()}; tracing geodesics')
+    geos = image_plane_geos(spin, inc, (-fov_M / 2, fov_M / 2),
+                            (-fov_M / 2, fov_M / 2), ngeo=ngeo,
+                            num_alpha=num, num_beta=num)
+    Omega = geos.keplerian_omega()
+    r_isco = float(constants.isco_pro(spin))
+    hotspot = emission.generate_hotspot(
+        resolution=(64, 64, 64), rot_axis=[0, 0, 1], rot_angle=0.0,
+        orbit_radius=1.1 * r_isco, std=0.7, r_isco=r_isco, fov=fov_M)
+    t_frames = units.Quantity(np.linspace(0.0, 1.0, nt), 'hr')
+    t_injection = -float(geos.r_o + fov_M / 4)
+    mark('rendering ground-truth movie')
+    movie = np.asarray(emission.image_plane_dynamics(
+        hotspot, geos, Omega, t_frames, t_injection))
+
+    predictor = NeRFPredictor(scale=fov_M / 2, rmin=0.0, rmax=fov_M / 2,
+                              z_width=2.0, compute_dtype=compute_dtype)
+    rt = raytracing_args(geos, Omega, t_injection, t_frames[0])
+    crt = compact_raytracing_args(rt, predictor)
+    train_step = TrainStep.image(t_frames, movie, predictor, dtype='full',
+                                 fused=True)
+    optimizer = Optimizer({'num_iters': num_iters, 'lr_init': 1e-3,
+                           'lr_final': 1e-5}, predictor, crt,
+                          checkpoint_dir='')
+
+    # pre-compile the grad step outside the timed window (one-time cost,
+    # persistent-cached across runs)
+    mark('compiling train step')
+    state0 = optimizer.state
+    batch = train_step.args[0].sample(min(6, nt))
+    _, state_warm, _ = train_step(state0, crt, batch)
+    jax.block_until_ready(state_warm.params['dense_0']['kernel'])
+    optimizer.state = state0
+
+    mark('training')
+    t0 = time.perf_counter()
+    optimizer.run(batchsize=min(6, nt), train_step=train_step,
+                  raytracing_args=crt, verbose=False)
+    jax.block_until_ready(optimizer.state.params['dense_0']['kernel'])
+    wall_s = time.perf_counter() - t0
+
+    mark(f'training done in {wall_s:.1f}s; evaluating')
+    vol = sample_3d_grid(predictor, optimizer.params, fov=fov_M,
+                         resolution=64)
+    truth = np.asarray(hotspot.data)
+    psnr_3d = float(utils.psnr(truth, vol))
+
+    _, frames = total_movie_loss(min(8, nt), optimizer.state, train_step,
+                                 crt, return_frames=True)
+    lc_rec = np.asarray(frames).sum(axis=(-1, -2))
+    lc_true = movie.sum(axis=(-1, -2))
+    lc_err_pct = float(100.0 * np.mean(np.abs(lc_rec - lc_true))
+                       / np.mean(lc_true))
+
+    print(json.dumps({
+        'metric': 'time_to_recover',
+        'wall_s': round(wall_s, 2),
+        'psnr_3d': round(psnr_3d, 2),
+        'lc_err_pct': round(lc_err_pct, 4),
+        'num_iters': num_iters,
+        'compute_dtype': compute_dtype,
+        'chip': jax.devices()[0].device_kind,
+    }))
+
+
+if __name__ == '__main__':
+    import argparse
+    p = argparse.ArgumentParser()
+    p.add_argument('--num-iters', type=int, default=1000)
+    p.add_argument('--small', action='store_true')
+    args = p.parse_args()
+    main(args.num_iters, args.small)

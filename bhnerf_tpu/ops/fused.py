@@ -7,15 +7,17 @@ so every hidden layer round-trips (N, 128) activations through HBM —
 gigabytes per training step at production sizes. This kernel runs the
 ENTIRE per-sample pipeline per tile inside VMEM:
 
-* inputs are the raw per-sample ray constants — coords (N, 3), Omega,
+* inputs are the raw per-sample ray constants — coords (3, N), Omega,
   t_geos_rel, a static domain mask — plus one frame-time scalar per grid
   row (SMEM). The velocity warp (rigid rotation about z by
   -Omega*max(t - t_inj, 0), reference emission.py:143-211) and the NeRF
-  positional encoding (reference network.py:98-122) are computed in-kernel,
-  so the (nt, N, feat) feature tensor never exists in HBM;
-* forward: per (TILE_N, feat) tile, the full
-  dense -> relu -> [skip concat] -> ... -> sigmoid(x-10) * mask chain
-  (reference network.py:18-64, 191-237);
+  positional encoding (reference network.py:98-122) are computed
+  in-kernel, so the (nt, N, feat) feature tensor never exists in HBM;
+* the whole pipeline runs SAMPLES-IN-LANES (feature-major): activations
+  are (channels, TILE_N), h^T = W^T @ F^T on the MXU, and every
+  elementwise/transcendental op (warp trig, posenc sin, sigmoid) fills
+  all 128 VPU lanes. The samples-in-sublanes layout wastes 127/128 lanes
+  on the prologue trig and measures ~2x slower end-to-end;
 * backward: a second kernel rematerializes warp+posenc+activations per
   tile and accumulates parameter gradients in-place across the
   (sequential) TPU grid; no gradients w.r.t. the ray constants are
@@ -46,165 +48,185 @@ def _interpret():
 
 
 def pack_params(params, net_depth):
-    """Pytree params -> flat list [W0, b0_row, W1, b1_row, ...]."""
+    """Pytree params -> flat list [W0, b0_col, W1, b1_col, ...].
+
+    Weights stay (in, out); biases become (out, 1) columns to match the
+    kernel's feature-major (channels, samples) activation layout."""
     packed = []
     for i in range(net_depth + 1):
         p = params[f'dense_{i}']
         packed.append(p['kernel'])          # (in, out)
-        packed.append(p['bias'][None, :])   # (1, out)
+        packed.append(p['bias'][:, None])   # (out, 1)
     return packed
 
 
 def unpack_grads(flat_grads, net_depth):
+    """Kernel grad outputs [dW^T (out, in), db (out, 1), ...] -> pytree."""
     out = {}
     for i in range(net_depth + 1):
         out[f'dense_{i}'] = {
-            'kernel': flat_grads[2 * i],
-            'bias': flat_grads[2 * i + 1][0],
+            'kernel': flat_grads[2 * i].T,
+            'bias': flat_grads[2 * i + 1][:, 0],
         }
     return out
 
 
 def _prologue(t, coords, omega, tg, smask, scale, deg):
-    """In-kernel velocity warp + posenc. All f32; mirrors
+    """In-kernel velocity warp + posenc, feature-major. All f32; mirrors
     emission.velocity_warp_coords (rot_axis z) + models.fields.posenc.
 
     t: frame time (M units, t_injection already subtracted); coords
-    (TILE_N, 3); omega/tg/smask (TILE_N, 1). Returns (F, mask)."""
-    t_M = t + tg                                   # (TILE_N, 1)
+    (3, TILE_N); omega/tg/smask (1, TILE_N).
+    Returns (F^T (feat, TILE_N), mask (1, TILE_N))."""
+    t_M = t + tg                                   # (1, TILE_N)
     valid = t_M >= 0.0
     theta = jnp.where(valid, t_M, 0.0) * omega
     c, s = jnp.cos(theta), jnp.sin(theta)
-    x, y, z = coords[:, 0:1], coords[:, 1:2], coords[:, 2:3]
+    x, y, z = coords[0:1], coords[1:2], coords[2:3]
     vf = valid.astype(jnp.float32)
     # R(-theta) about z, then zero invalid slots (matches the XLA path's
     # where(valid, warped, 0) BEFORE the /scale posenc input)
     wx = (c * x + s * y) * vf
     wy = (c * y - s * x) * vf
     wz = z * vf
-    w = jnp.concatenate([wx, wy, wz], axis=-1) * (1.0 / scale)
+    w = jnp.concatenate([wx, wy, wz], axis=0) * (1.0 / scale)
     if deg > 0:
-        xb = jnp.concatenate([w * (2.0 ** i) for i in range(deg)], axis=-1)
-        ang = jnp.concatenate([xb, xb + 0.5 * jnp.pi], axis=-1)
-        F = jnp.concatenate([w, jnp.sin(ang % (100 * jnp.pi))], axis=-1)
+        xb = jnp.concatenate([w * (2.0 ** i) for i in range(deg)], axis=0)
+        ang = jnp.concatenate([xb, xb + 0.5 * jnp.pi], axis=0)
+        F = jnp.concatenate([w, jnp.sin(ang % (100 * jnp.pi))], axis=0)
     else:
         F = w
     return F, vf * smask
 
 
 def _forward_chain(F, wb_refs, cfg, dtype):
-    """Dense chain in (samples, channels) layout; mirrors
-    models.fields.apply_mlp. Returns (post-relu activations, out col)."""
+    """Feature-major dense chain: activations (channels, samples); mirrors
+    models.fields.apply_mlp. Returns (post-relu activations, out row)."""
     net_depth, net_width, do_skip = cfg
     skip_layer = net_depth // 2 if do_skip else None
     h = F
     acts = []
 
     def dense(idx, x):
-        W = wb_refs[2 * idx][:]
-        b = wb_refs[2 * idx + 1][:]
-        y = jnp.dot(x.astype(dtype), W.astype(dtype),
-                    preferred_element_type=jnp.float32)
+        W = wb_refs[2 * idx][:]       # (in, out)
+        b = wb_refs[2 * idx + 1][:]   # (out, 1)
+        # y^T = W^T x with x (in, N): contract the 'in' axis of both
+        y = jax.lax.dot_general(
+            W.astype(dtype), x.astype(dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         return y + b
 
     for i in range(net_depth):
         h = jnp.maximum(dense(i, h), 0.0)
         if do_skip and i > 0 and i % skip_layer == 0:
-            h = jnp.concatenate([h, F], axis=-1)
+            h = jnp.concatenate([h, F], axis=0)
         acts.append(h)
-    out = dense(net_depth, h)
+    out = dense(net_depth, h)         # (out_channel, N)
     return acts, out
 
 
 def _fwd_kernel(t_ref, coords_ref, omega_ref, tg_ref, smask_ref, *rest,
-                cfg, scale, deg, dtype):
+                nt, cfg, scale, deg, dtype):
+    """One sample tile, ALL nt frames (statically unrolled): parameter
+    loads amortize across frames and the (nt, TILE_N) output block
+    satisfies Mosaic's (8, 128)-divisible-or-full block constraint."""
     wb_refs = rest[:-1]
     out_ref = rest[-1]
-    F, mask = _prologue(t_ref[0, 0], coords_ref[:], omega_ref[:], tg_ref[:],
-                        smask_ref[:], scale, deg)
-    _, out = _forward_chain(F, wb_refs, cfg, dtype)
-    em = jax.nn.sigmoid(out - 10.0)
-    out_ref[:] = em * mask
+    for t in range(nt):
+        F, mask = _prologue(t_ref[t, 0], coords_ref[:], omega_ref[:],
+                            tg_ref[:], smask_ref[:], scale, deg)
+        _, out = _forward_chain(F, wb_refs, cfg, dtype)
+        em = jax.nn.sigmoid(out - 10.0)
+        out_ref[t:t + 1, :] = em * mask
 
 
 def _bwd_kernel(t_ref, coords_ref, omega_ref, tg_ref, smask_ref, g_ref,
-                *rest, cfg, scale, deg, dtype):
+                *rest, nt, cfg, scale, deg, dtype):
     net_depth, net_width, do_skip = cfg
     skip_layer = net_depth // 2 if do_skip else None
     n_wb = 2 * (net_depth + 1)
     wb_refs = rest[:n_wb]
     grad_refs = rest[n_wb:]
 
-    F, mask = _prologue(t_ref[0, 0], coords_ref[:], omega_ref[:], tg_ref[:],
-                        smask_ref[:], scale, deg)
-    acts, out = _forward_chain(F, wb_refs, cfg, dtype)
-    em = jax.nn.sigmoid(out - 10.0)
-    d_out = g_ref[:] * mask * em * (1.0 - em)  # (TILE_N, 1)
-
-    is_first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
-
-    def accum(ref, val):
-        @pl.when(is_first)
-        def _():
-            ref[:] = val
-
-        @pl.when(jnp.logical_not(is_first))
-        def _():
-            ref[:] = ref[:] + val
-
-    def matmul_T_lhs(a, b):
-        """a^T @ b with a (N, m), b (N, n) -> (m, n), contract samples."""
+    def grad_W(d_pre, inp):
+        """dW^T (out, in) = d_pre (out, N) . inp (in, N), contract N."""
         return jax.lax.dot_general(
-            a.astype(dtype), b.astype(dtype),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-
-    def matmul_T_rhs(a, b):
-        """a @ b^T with a (N, o), b (i, o) -> (N, i), contract out dim."""
-        return jax.lax.dot_general(
-            a.astype(dtype), b.astype(dtype),
+            d_pre.astype(dtype), inp.astype(dtype),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    # final layer
-    h_prev = acts[-1]
-    accum(grad_refs[2 * net_depth], matmul_T_lhs(h_prev, d_out))
-    accum(grad_refs[2 * net_depth + 1],
-          jnp.sum(d_out, axis=0, keepdims=True))
-    d_h = matmul_T_rhs(d_out, wb_refs[2 * net_depth][:])  # (N, in)
+    def back_h(W, d_pre):
+        """d_h (in, N) = W (in, out) @ d_pre (out, N)."""
+        return jax.lax.dot_general(
+            W.astype(dtype), d_pre.astype(dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
-    for i in range(net_depth - 1, -1, -1):
-        h_i = acts[i]
-        if do_skip and i > 0 and i % skip_layer == 0:
-            # h_i = concat([relu_out, F], -1); F carries no gradient
-            d_h = d_h[:, :net_width]
-            relu_out = h_i[:, :net_width]
-        else:
-            relu_out = h_i
-        d_pre = jnp.where(relu_out > 0.0, d_h, 0.0)
-        inp = F if i == 0 else acts[i - 1]
-        accum(grad_refs[2 * i], matmul_T_lhs(inp, d_pre))
-        accum(grad_refs[2 * i + 1], jnp.sum(d_pre, axis=0, keepdims=True))
-        if i > 0:
-            d_h = matmul_T_rhs(d_pre, wb_refs[2 * i][:])
+    # per-frame gradient contributions accumulate into VMEM registers,
+    # then flush once per tile into the revisited output blocks
+    local = [None] * len(grad_refs)
+
+    def add(k, val):
+        local[k] = val if local[k] is None else local[k] + val
+
+    for t in range(nt):
+        F, mask = _prologue(t_ref[t, 0], coords_ref[:], omega_ref[:],
+                            tg_ref[:], smask_ref[:], scale, deg)
+        acts, out = _forward_chain(F, wb_refs, cfg, dtype)
+        em = jax.nn.sigmoid(out - 10.0)
+        d_out = g_ref[t:t + 1, :] * mask * em * (1.0 - em)  # (1, TILE_N)
+
+        h_prev = acts[-1]
+        add(2 * net_depth, grad_W(d_out, h_prev))
+        add(2 * net_depth + 1, jnp.sum(d_out, axis=1, keepdims=True))
+        d_h = back_h(wb_refs[2 * net_depth][:], d_out)  # (in, N)
+
+        for i in range(net_depth - 1, -1, -1):
+            h_i = acts[i]
+            if do_skip and i > 0 and i % skip_layer == 0:
+                # h_i = concat([relu_out, F], 0); F carries no gradient
+                d_h = d_h[:net_width]
+                relu_out = h_i[:net_width]
+            else:
+                relu_out = h_i
+            d_pre = jnp.where(relu_out > 0.0, d_h, 0.0)
+            inp = F if i == 0 else acts[i - 1]
+            add(2 * i, grad_W(d_pre, inp))
+            add(2 * i + 1, jnp.sum(d_pre, axis=1, keepdims=True))
+            if i > 0:
+                d_h = back_h(wb_refs[2 * i][:], d_pre)
+
+    is_first = pl.program_id(0) == 0
+    for k, ref in enumerate(grad_refs):
+        @pl.when(is_first)
+        def _(ref=ref, k=k):
+            ref[:] = local[k]
+
+        @pl.when(jnp.logical_not(is_first))
+        def _(ref=ref, k=k):
+            ref[:] = ref[:] + local[k]
 
 
 def _full_specs(n):
     return [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n)]
 
 
-def _sample_specs(n_tiles):
-    """BlockSpecs for (t_eff, coords, Omega, t_geos_rel, smask)."""
+def _sample_specs(nt):
+    """BlockSpecs for (t_eff, coords, Omega, t_geos_rel, smask).
+
+    t_eff rides whole in SMEM; per-sample constants are feature-major
+    (lanes = samples), grid is over sample tiles only — the kernel
+    statically unrolls the nt frames per tile."""
     return [
-        pl.BlockSpec((1, 1), lambda t, j: (t, 0),
-                     memory_space=pltpu.SMEM),
-        pl.BlockSpec((TILE_N, 3), lambda t, j: (j, 0),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((3, TILE_N), lambda j: (0, j),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((TILE_N, 1), lambda t, j: (j, 0),
+        pl.BlockSpec((1, TILE_N), lambda j: (0, j),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((TILE_N, 1), lambda t, j: (j, 0),
+        pl.BlockSpec((1, TILE_N), lambda j: (0, j),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((TILE_N, 1), lambda t, j: (j, 0),
+        pl.BlockSpec((1, TILE_N), lambda j: (0, j),
                      memory_space=pltpu.VMEM),
     ]
 
@@ -213,58 +235,58 @@ def _sample_specs(n_tiles):
                    static_argnames=('cfg', 'scale', 'deg', 'compute_dtype'))
 def _render_fwd(t_eff, coords, omega, tg, smask, packed, cfg, scale, deg,
                 compute_dtype):
-    n = coords.shape[0]
+    n = coords.shape[1]
     nt = t_eff.shape[0]
     n_tiles = n // TILE_N
     dtype = jnp.bfloat16 if compute_dtype == 'bfloat16' else jnp.float32
-    kernel = functools.partial(_fwd_kernel, cfg=cfg, scale=scale, deg=deg,
-                               dtype=dtype)
-    em = pl.pallas_call(
+    kernel = functools.partial(_fwd_kernel, nt=nt, cfg=cfg, scale=scale,
+                               deg=deg, dtype=dtype)
+    return pl.pallas_call(
         kernel,
-        grid=(nt, n_tiles),
-        in_specs=_sample_specs(n_tiles) + _full_specs(len(packed)),
-        out_specs=pl.BlockSpec(
-            (TILE_N, 1), lambda t, j, _nt=n_tiles: (t * _nt + j, 0),
-            memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nt * n, 1), jnp.float32),
+        grid=(n_tiles,),
+        in_specs=_sample_specs(nt) + _full_specs(len(packed)),
+        out_specs=pl.BlockSpec((nt, TILE_N), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nt, n), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(t_eff, coords, omega, tg, smask, *packed)
-    return em.reshape(nt, n)
 
 
 @functools.partial(jax.jit,
                    static_argnames=('cfg', 'scale', 'deg', 'compute_dtype'))
 def _render_bwd(t_eff, coords, omega, tg, smask, g_em, packed, cfg, scale,
                 deg, compute_dtype):
-    n = coords.shape[0]
+    n = coords.shape[1]
     nt = t_eff.shape[0]
     n_tiles = n // TILE_N
     dtype = jnp.bfloat16 if compute_dtype == 'bfloat16' else jnp.float32
-    kernel = functools.partial(_bwd_kernel, cfg=cfg, scale=scale, deg=deg,
-                               dtype=dtype)
-    grad_shapes = [jax.ShapeDtypeStruct(p.shape, jnp.float32)
-                   for p in packed]
+    kernel = functools.partial(_bwd_kernel, nt=nt, cfg=cfg, scale=scale,
+                               deg=deg, dtype=dtype)
+    # grads come out feature-major: dW^T (out, in), db (out, 1)
+    grad_shapes = []
+    for k, p in enumerate(packed):
+        shape = (p.shape[1], p.shape[0]) if k % 2 == 0 else p.shape
+        grad_shapes.append(jax.ShapeDtypeStruct(shape, jnp.float32))
 
-    def const_spec(p):
-        ndim = len(p.shape)
-        return pl.BlockSpec(p.shape, lambda t, j, _nd=ndim: (0,) * _nd,
+    def const_spec(shape):
+        ndim = len(shape)
+        return pl.BlockSpec(shape, lambda j, _nd=ndim: (0,) * _nd,
                             memory_space=pltpu.VMEM)
 
-    g_spec = pl.BlockSpec(
-        (TILE_N, 1), lambda t, j, _nt=n_tiles: (t * _nt + j, 0),
-        memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((nt, TILE_N), lambda j: (0, j),
+                          memory_space=pltpu.VMEM)
     grads = pl.pallas_call(
         kernel,
-        grid=(nt, n_tiles),
-        in_specs=_sample_specs(n_tiles) + [g_spec] + _full_specs(len(packed)),
-        out_specs=[const_spec(p) for p in packed],
+        grid=(n_tiles,),
+        in_specs=_sample_specs(nt) + [g_spec] + _full_specs(len(packed)),
+        out_specs=[const_spec(s.shape) for s in grad_shapes],
         out_shape=grad_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(t_eff, coords, omega, tg, smask, g_em.reshape(nt * n, 1), *packed)
+    )(t_eff, coords, omega, tg, smask, g_em, *packed)
     return grads
 
 
@@ -273,13 +295,13 @@ def fused_render(params, coords, omega, tg, smask, t_eff, cfg, scale, deg,
                  compute_dtype='float32'):
     """Warp+posenc+MLP emission via the fused TPU kernel.
 
-    coords (N, 3), omega/tg/smask (N, 1) with N a multiple of TILE_N;
+    coords (3, N), omega/tg/smask (1, N) with N a multiple of TILE_N;
     t_eff (nt, 1) frame times in M units with t_injection subtracted.
     Returns emission (nt, N). Gradients flow to `params` only.
     """
-    if coords.shape[0] % TILE_N:
+    if coords.shape[1] % TILE_N:
         raise ValueError(
-            f'sample count {coords.shape[0]} must be a multiple of TILE_N '
+            f'sample count {coords.shape[1]} must be a multiple of TILE_N '
             f'({TILE_N}); pad the inputs (see predict_emission_fused)')
     packed = pack_params(params, cfg[0])
     return _render_fwd(t_eff, coords, omega, tg, smask, packed, cfg, scale,
@@ -314,18 +336,19 @@ def _flatten_sample_args(coords, omega, tg, smask, n):
     """Flatten/pad per-sample constants into the kernel layout.
 
     coords: (3, ...) component-major; omega scalar or coords-shaped;
-    tg/smask coords[0]-shaped. Padding rows get tg=-1e30 (never valid)."""
+    tg/smask coords[0]-shaped. Padding columns get tg=-1e30 (never
+    valid)."""
     n_pad = (n + TILE_N - 1) // TILE_N * TILE_N
     pad = n_pad - n
 
-    def col(x, fill=0.0):
+    def row(x, fill=0.0):
         x = jnp.broadcast_to(jnp.asarray(x, jnp.float32), coords.shape[1:])
-        return jnp.pad(x.reshape(n, 1), ((0, pad), (0, 0)),
+        return jnp.pad(x.reshape(1, n), ((0, 0), (0, pad)),
                        constant_values=fill)
 
-    coords_n = jnp.pad(coords.reshape(3, n).T.astype(jnp.float32),
-                       ((0, pad), (0, 0)))
-    return coords_n, col(omega), col(tg, fill=-1e30), col(smask), n_pad
+    coords_n = jnp.pad(coords.reshape(3, n).astype(jnp.float32),
+                       ((0, 0), (0, pad)))
+    return coords_n, row(omega), row(tg, fill=-1e30), row(smask), n_pad
 
 
 def render_samples(params, predictor, t_frames_M, coords, omega, tg,

@@ -153,7 +153,13 @@ class TrainStep:
 
         for rt in raytracing_args:
             for i in range(self.num_losses):
-                batch = self.args[i][indices]
+                if self.args[i].mesh is None:
+                    # gather-in-jit path: full device-resident tensors +
+                    # indices; one dispatch, no per-step H2D upload
+                    batch = (*self.args[i].device_args,
+                             np.asarray(indices, np.int32))
+                else:
+                    batch = self.args[i][indices]
                 loss, state, images = fns[i](state, *batch, rt,
                                              self.scale[i])
                 # device-side accumulation: no host sync per step (the
@@ -181,7 +187,8 @@ class TrainStep:
         args = TemporalBatchedArgs(t_frames, [target, sigma, offset],
                                    mesh=mesh)
         grad_fn, test_fn = step_lib.make_step_fns(predictor, kind='image',
-                                                  dtype=dtype, fused=fused)
+                                                  dtype=dtype, fused=fused,
+                                                  gather=mesh is None)
         return cls(dtype, args, grad_fn, test_fn, scale)
 
     @classmethod
@@ -204,7 +211,8 @@ class TrainStep:
             dtype, target, sigma, A)
         args = TemporalBatchedArgs(t_frames, [target, sigma, A], mesh=mesh)
         grad_fn, test_fn = step_lib.make_step_fns(predictor, kind='eht',
-                                                  dtype=dtype, fused=fused)
+                                                  dtype=dtype, fused=fused,
+                                                  gather=mesh is None)
         return cls(dtype, args, grad_fn, test_fn, scale)
 
     @property
@@ -225,6 +233,21 @@ class TemporalBatchedArgs:
         args.append(np.asarray(t_vals, np.float32))
         self.args = args
         self.mesh = mesh
+        self._device_args = None
+
+    @property
+    def device_args(self):
+        """Full frame tensors resident on device (lazy, uploaded once).
+
+        Used by the gather-in-jit step path: the per-step batch selection
+        happens inside the jitted step, so one step = ONE dispatch with
+        no per-step H2D upload (the TPU sits behind a network tunnel;
+        per-step transfers dominated the fused-kernel step time)."""
+        if self._device_args is None:
+            import jax.numpy as jnp
+            self._device_args = [jnp.asarray(np.asarray(a, np.float32))
+                                 for a in self.args]
+        return self._device_args
 
     def sample(self, batchsize, replace=False):
         return np.random.choice(range(self.num_frames), batchsize,

@@ -388,7 +388,7 @@ def loss_fn_eht(params, predictor, target, sigma, A, t_frames_M, rt,
 # ---------------------------------------------------------------------------
 @functools.lru_cache(maxsize=64)
 def make_step_fns(predictor, kind='image', dtype='full', donate_state=False,
-                  fused=False):
+                  fused=False, gather=False):
     """Build (grad_step, test_step), each jit'd once per (predictor
     config, loss kind). Mesh-parallelism comes from input shardings.
 
@@ -399,6 +399,11 @@ def make_step_fns(predictor, kind='image', dtype='full', donate_state=False,
     kind='image': batch args are (target, sigma, offset, t_frames).
     kind='eht':   batch args are (target, sigma, A, t_frames).
     fused=True:   NeRF hot path through the Pallas TPU kernel.
+    gather=True:  batch args are the FULL frame tensors plus an extra
+        `indices` argument; the frame-batch gather happens inside the
+        jitted step. One training step is then a single dispatch with no
+        per-step host->device upload (the chip sits behind a network
+        tunnel; per-step uploads dominate at fused-kernel speeds).
     """
     loss_fn = loss_fn_image if kind == 'image' else loss_fn_eht
 
@@ -406,6 +411,34 @@ def make_step_fns(predictor, kind='image', dtype='full', donate_state=False,
         t_frames_M = rt.frame_times_M(t_frames)
         return loss_fn(params, predictor, target, sigma, third, t_frames_M,
                        rt, scale, dtype, fused=fused)
+
+    if gather:
+        def compute_batch_loss(params, target, sigma, third, t_frames,
+                               indices, rt, scale):
+            take = lambda x: jnp.take(x, indices, axis=0)
+            return compute_loss(params, take(target), take(sigma),
+                                take(third), take(t_frames), rt, scale)
+
+        @functools.partial(jax.jit,
+                           donate_argnums=(0,) if donate_state else ())
+        def grad_step(state, target, sigma, third, t_frames, indices, rt,
+                      scale):
+            (loss, [images]), grads = jax.value_and_grad(
+                compute_batch_loss, has_aux=True)(
+                    state.params, target, sigma, third, t_frames, indices,
+                    rt, scale)
+            state = state.apply_gradients(grads)
+            return loss, state, images
+
+        @jax.jit
+        def test_step(state, target, sigma, third, t_frames, indices, rt,
+                      scale):
+            loss, [images] = compute_batch_loss(
+                state.params, target, sigma, third, t_frames, indices, rt,
+                scale)
+            return loss, state, images
+
+        return grad_step, test_step
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate_state else ())
     def grad_step(state, target, sigma, third, t_frames, rt, scale):
