@@ -177,18 +177,23 @@ class TrainStep:
 
     @classmethod
     def image(cls, t_frames, target, predictor, sigma=1.0, offset=0.0,
-              scale=1.0, dtype='full', mesh=None, fused=False):
+              scale=1.0, dtype='full', mesh=None, fused=False,
+              tv_scale=0.0, tv_fov=None, tv_resolution=32):
         """Image-plane / lightcurve training step
         (reference optimization.py:189-217). fused=True routes the NeRF
-        hot path through the Pallas TPU kernel."""
+        hot path through the Pallas TPU kernel; tv_scale > 0 adds a
+        total-variation smoothness penalty on the canonical-frame volume
+        (step.tv_loss — the working form of the reference's broken
+        tv_reg, network.py:931)."""
         target = np.asarray(target)
         sigma = sigma * np.ones_like(target)
         offset = offset * np.ones_like(target)
         args = TemporalBatchedArgs(t_frames, [target, sigma, offset],
                                    mesh=mesh)
-        grad_fn, test_fn = step_lib.make_step_fns(predictor, kind='image',
-                                                  dtype=dtype, fused=fused,
-                                                  gather=mesh is None)
+        grad_fn, test_fn = step_lib.make_step_fns(
+            predictor, kind='image', dtype=dtype, fused=fused,
+            gather=mesh is None, tv_scale=tv_scale, tv_fov=tv_fov,
+            tv_resolution=tv_resolution)
         return cls(dtype, args, grad_fn, test_fn, scale)
 
     @classmethod

