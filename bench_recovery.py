@@ -74,19 +74,28 @@ def main(num_iters=1000, small=False):
                            'lr_final': 1e-5}, predictor, crt,
                           checkpoint_dir='')
 
-    # pre-compile the grad step outside the timed window (one-time cost,
-    # persistent-cached across runs)
+    # pre-compile the scanned train step outside the timed window
+    # (one-time cost, persistent-cached across runs)
     mark('compiling train step')
-    state0 = optimizer.state
-    batch = train_step.args[0].sample(min(6, nt))
-    _, state_warm, _ = train_step(state0, crt, batch)
+    from bhnerf_tpu.train.step import make_scan_step
+    chunk = int(os.environ.get('BENCH_SCAN_CHUNK', 100))
+    from bhnerf_tpu.train import TrainState
+    scan_fn = make_scan_step(batchsize=min(6, nt), chunk=chunk,
+                             **train_step.scan_meta)
+    # throwaway state (the scanned step donates its state argument) with
+    # the SAME tx object: tx is pytree aux, so a different optax instance
+    # would shift the compile out of this warmup into the timed window
+    state_warm = TrainState.create(predictor.init_params(seed=9),
+                                   optimizer.state.tx)
+    state_warm, _ = scan_fn(state_warm, *train_step.args[0].device_args,
+                            jax.random.PRNGKey(0), crt, 1.0)
     jax.block_until_ready(state_warm.params['dense_0']['kernel'])
-    optimizer.state = state0
 
     mark('training')
     t0 = time.perf_counter()
     optimizer.run(batchsize=min(6, nt), train_step=train_step,
-                  raytracing_args=crt, verbose=False)
+                  raytracing_args=crt, verbose=False,
+                  scan_chunk=int(os.environ.get('BENCH_SCAN_CHUNK', 100)))
     jax.block_until_ready(optimizer.state.params['dense_0']['kernel'])
     wall_s = time.perf_counter() - t0
 

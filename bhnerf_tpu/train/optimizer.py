@@ -85,16 +85,31 @@ class Optimizer:
                                       int(self.step), keep=self.keep)
 
     def run(self, batchsize, train_step, raytracing_args, log_fns=(),
-            verbose=True, nan_check_period=1000):
+            verbose=True, nan_check_period=1000, scan_chunk=0):
         """Training loop (reference optimization.py:123-139), plus a
         periodic non-finite-loss guard (the reference trains blindly
-        through NaNs; checking every step would force a host sync)."""
+        through NaNs; checking every step would force a host sync).
+
+        scan_chunk > 0 runs `scan_chunk` steps per dispatch via lax.scan
+        (step.make_scan_step) when the step is scannable (single loss,
+        single sub-pixel-ray variant, no mesh): removes the per-step
+        dispatch round-trip; log_fns/checkpoints then run once per
+        chunk, and frame batches are sampled with jax PRNG (seeded by
+        hparams['seed']).
+        """
         from tqdm.auto import tqdm
         self.init_step = int(np.asarray(jax.device_get(self.state.step))) + 1
         self.final_step = self.init_step + self.num_iters
         self.log_fns = np.atleast_1d(log_fns) if log_fns else []
         self.train_step = train_step
         self.raytracing_args = raytracing_args
+
+        rt_list = np.atleast_1d(raytracing_args)
+        scannable = (scan_chunk and train_step.scan_meta is not None
+                     and train_step.num_losses == 1 and len(rt_list) == 1)
+        if scannable:
+            return self._run_scan(batchsize, train_step, rt_list[0],
+                                  scan_chunk, verbose)
 
         iterator = range(self.init_step, self.final_step)
         if verbose:
@@ -117,6 +132,44 @@ class Optimizer:
         except KeyboardInterrupt:
             return
 
+    def _run_scan(self, batchsize, train_step, rt, scan_chunk, verbose):
+        from tqdm.auto import tqdm
+        args = train_step.args[0]
+        # python float, not np.float64: a weak-typed scalar matches any
+        # pre-compiled executable; an f64 scalar forces a fresh compile
+        scale = float(train_step.scale[0])
+        key = jax.random.PRNGKey(self.seed)
+        step = self.init_step - 1
+        pbar = tqdm(total=self.num_iters, desc='iteration') if verbose \
+            else None
+        try:
+            while step < self.final_step - 1:
+                chunk = min(scan_chunk, self.final_step - 1 - step)
+                scan_fn = step_lib.make_scan_step(
+                    batchsize=batchsize, chunk=int(chunk),
+                    **train_step.scan_meta)
+                key, sub = jax.random.split(key)
+                self.state, losses = scan_fn(self.state, *args.device_args,
+                                             sub, rt, scale)
+                step += chunk
+                self.step = step
+                self.loss = losses[-1]
+                if not np.isfinite(np.asarray(self.loss)).all():
+                    import warnings
+                    warnings.warn(
+                        f'non-finite loss at step {self.step}; stopping '
+                        f'(last checkpoint is recoverable)')
+                    return
+                if pbar is not None:
+                    pbar.update(int(chunk))
+                self.log()
+                self.save_checkpoint()
+        except KeyboardInterrupt:
+            return
+        finally:
+            if pbar is not None:
+                pbar.close()
+
     @property
     def params(self):
         return jax.device_get(self.state.params)
@@ -126,12 +179,16 @@ class TrainStep:
     """Composable container of (dtype, args, grad/test fns, scale)
     (reference optimization.py:145-268)."""
 
-    def __init__(self, dtype, args, grad_fn, test_fn, scale):
+    def __init__(self, dtype, args, grad_fn, test_fn, scale,
+                 scan_meta=None):
         self.dtype = list(np.atleast_1d(dtype))
         self.args = list(np.atleast_1d(args))
         self.grad_fn = list(np.atleast_1d(grad_fn))
         self.test_fn = list(np.atleast_1d(test_fn))
         self.scale = list(np.atleast_1d(scale))
+        # kwargs for step.make_scan_step (chunked lax.scan training);
+        # None for composed/mesh steps, which use the per-step loop
+        self.scan_meta = scan_meta
         if any(arg.t_units != units.hr for arg in self.args):
             raise ValueError('only hr units supported')
         sizes = {len(self.dtype), len(self.args), len(self.grad_fn),
@@ -173,7 +230,7 @@ class TrainStep:
         return TrainStep(self.dtype + other.dtype, self.args + other.args,
                          self.grad_fn + other.grad_fn,
                          self.test_fn + other.test_fn,
-                         self.scale + other.scale)
+                         self.scale + other.scale, scan_meta=None)
 
     @classmethod
     def image(cls, t_frames, target, predictor, sigma=1.0, offset=0.0,
@@ -194,7 +251,10 @@ class TrainStep:
             predictor, kind='image', dtype=dtype, fused=fused,
             gather=mesh is None, tv_scale=tv_scale, tv_fov=tv_fov,
             tv_resolution=tv_resolution)
-        return cls(dtype, args, grad_fn, test_fn, scale)
+        meta = None if mesh is not None else dict(
+            predictor=predictor, kind='image', dtype=dtype, fused=fused,
+            tv_scale=tv_scale, tv_fov=tv_fov, tv_resolution=tv_resolution)
+        return cls(dtype, args, grad_fn, test_fn, scale, scan_meta=meta)
 
     @classmethod
     def eht(cls, t_frames, obs, image_fov, image_size, predictor,
@@ -218,7 +278,9 @@ class TrainStep:
         grad_fn, test_fn = step_lib.make_step_fns(predictor, kind='eht',
                                                   dtype=dtype, fused=fused,
                                                   gather=mesh is None)
-        return cls(dtype, args, grad_fn, test_fn, scale)
+        meta = None if mesh is not None else dict(
+            predictor=predictor, kind='eht', dtype=dtype, fused=fused)
+        return cls(dtype, args, grad_fn, test_fn, scale, scan_meta=meta)
 
     @property
     def t_units(self):

@@ -53,9 +53,19 @@ class TrainState:
         return TrainState(self.step + 1, new_params, new_opt_state, self.tx)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=256)
 def make_optimizer(num_iters=5000, lr_init=1e-4, lr_final=1e-6,
                    lr_inject=None):
-    """adam + polynomial schedule (reference network.py:171-180)."""
+    """adam + polynomial schedule (reference network.py:171-180).
+
+    Cached: the returned GradientTransformation rides in TrainState's
+    pytree AUX, so jitted steps specialize on its identity — handing out
+    one object per unique schedule avoids silent recompiles (e.g.
+    alma.chi2_df restoring dozens of checkpoints, or warmup-vs-run state
+    pairs). optax transforms are stateless, sharing is safe."""
     lr = optax.polynomial_schedule(lr_init, lr_final, 1, num_iters)
     tx = optax.adam(learning_rate=lr)
     if lr_inject:

@@ -481,3 +481,52 @@ def make_step_fns(predictor, kind='image', dtype='full', donate_state=False,
         return loss, state, images
 
     return grad_step, test_step
+
+
+@functools.lru_cache(maxsize=64)
+def make_scan_step(predictor, kind='image', dtype='full', fused=False,
+                   tv_scale=0.0, tv_fov=None, tv_resolution=32,
+                   batchsize=6, chunk=100):
+    """One dispatch = `chunk` training steps via lax.scan.
+
+    Per-step frame batches are sampled INSIDE the scan with jax PRNG
+    (uniform without replacement, the reference's np.random.choice
+    semantics — optimization.py:285-287). Eliminates the per-step
+    dispatch round-trip entirely: at fused-kernel speeds the Python
+    loop + tunnel latency is ~35% of wall time even with gather-in-jit.
+
+    Returns jit fn (state, target, sigma, third, t_frames, key, rt,
+    scale) -> (state, losses (chunk,)). Single-loss, single-rt only;
+    Optimizer.run falls back to the per-step loop otherwise.
+    """
+    loss_fn = loss_fn_image if kind == 'image' else loss_fn_eht
+
+    def compute_loss(params, target, sigma, third, t_frames, indices, rt,
+                     scale):
+        take = lambda x: jnp.take(x, indices, axis=0)
+        t_frames_M = rt.frame_times_M(take(t_frames))
+        loss, aux = loss_fn(params, predictor, take(target), take(sigma),
+                            take(third), t_frames_M, rt, scale, dtype,
+                            fused=fused)
+        if tv_scale:
+            fov = 2.0 * predictor.scale if tv_fov is None else tv_fov
+            loss = loss + tv_scale * tv_loss(params, predictor, fov,
+                                             tv_resolution)
+        return loss, aux
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def scan_steps(state, target, sigma, third, t_frames, key, rt, scale):
+        nt = target.shape[0]
+
+        def body(state, k):
+            indices = jax.random.choice(k, nt, (batchsize,), replace=False)
+            (loss, _), grads = jax.value_and_grad(
+                compute_loss, has_aux=True)(
+                    state.params, target, sigma, third, t_frames, indices,
+                    rt, scale)
+            return state.apply_gradients(grads), loss
+
+        keys = jax.random.split(key, chunk)
+        return jax.lax.scan(body, state, keys)
+
+    return scan_steps

@@ -244,3 +244,24 @@ def test_tv_regularizer(problem):
     assert float(np.asarray(loss_tv)) >= float(np.asarray(loss_plain))
     assert np.isfinite(
         np.asarray(state_tv.params['dense_0']['kernel'])).all()
+
+
+def test_scan_chunked_training(problem):
+    """Optimizer.run(scan_chunk=N): lax.scan multi-step path must train
+    (loss drops), advance state.step correctly including a ragged tail
+    chunk, and stay finite."""
+    rt = problem['rt']
+    predictor = NeRFPredictor(scale=FOV / 2, rmax=FOV / 2, z_width=2.0,
+                              net_depth=2, net_width=16)
+    optimizer = Optimizer({'num_iters': 110, 'lr_init': 5e-3,
+                           'lr_final': 1e-3, 'seed': 2}, predictor, rt)
+    train_step = TrainStep.image(problem['t_frames'], problem['movie'],
+                                 predictor, dtype='full')
+    state0 = optimizer.state
+    loss0 = total_movie_loss(8, state0, train_step, rt)
+    optimizer.run(batchsize=8, train_step=train_step, raytracing_args=rt,
+                  verbose=False, scan_chunk=50)  # 50 + 50 + 10 tail
+    assert int(np.asarray(optimizer.state.step)) == 110
+    loss1 = total_movie_loss(8, optimizer.state, train_step, rt)
+    assert np.isfinite(loss1)
+    assert loss1 < loss0 / 2, (loss0, loss1)
