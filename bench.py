@@ -157,9 +157,10 @@ def main():
     # dispatch, eliminating the residual per-step dispatch latency
     mark(f'fused path: {steps_per_sec:.2f} steps/s; compiling scan step')
     from bhnerf_tpu.train.step import make_scan_step
+    scan_chunk = int(os.environ.get('BENCH_SCAN_CHUNK', 500))
     scan_fn = make_scan_step(predictor=predictor, kind='image',
                              dtype='full', fused=True, batchsize=batch,
-                             chunk=100)
+                             chunk=scan_chunk)
     sstate = TrainState.create(predictor.init_params(seed=0),
                                make_optimizer(50000))
     import jax as _jax
@@ -168,11 +169,12 @@ def main():
                              crt, 1.0)
     _jax.block_until_ready(losses)
     t0 = time.perf_counter()
-    for i in range(5):
+    for i in range(max(1000 // scan_chunk, 1)):
         sstate, losses = scan_fn(sstate, target, sigma, offset, t_all,
                                  _jax.random.PRNGKey(i), crt, 1.0)
     _jax.block_until_ready(losses)
-    scan_steps_per_sec = 500 / (time.perf_counter() - t0)
+    scan_steps_per_sec = (max(1000 // scan_chunk, 1) * scan_chunk
+                          / (time.perf_counter() - t0))
 
     # measured baseline: dense pure-XLA path, reference semantics (every
     # ray sample through the MLP, stock XLA fusion, f32)

@@ -78,7 +78,7 @@ def main(num_iters=1000, small=False):
     # (one-time cost, persistent-cached across runs)
     mark('compiling train step')
     from bhnerf_tpu.train.step import make_scan_step
-    chunk = int(os.environ.get('BENCH_SCAN_CHUNK', 100))
+    chunk = int(os.environ.get('BENCH_SCAN_CHUNK', 500))
     from bhnerf_tpu.train import TrainState
     scan_fn = make_scan_step(batchsize=min(6, nt), chunk=chunk,
                              **train_step.scan_meta)
@@ -95,7 +95,7 @@ def main(num_iters=1000, small=False):
     t0 = time.perf_counter()
     optimizer.run(batchsize=min(6, nt), train_step=train_step,
                   raytracing_args=crt, verbose=False,
-                  scan_chunk=int(os.environ.get('BENCH_SCAN_CHUNK', 100)))
+                  scan_chunk=int(os.environ.get('BENCH_SCAN_CHUNK', 500)))
     jax.block_until_ready(optimizer.state.params['dense_0']['kernel'])
     wall_s = time.perf_counter() - t0
 

@@ -93,18 +93,40 @@ def _prologue(t, coords, omega, tg, smask, scale, deg):
     if deg > 0:
         xb = jnp.concatenate([w * (2.0 ** i) for i in range(deg)], axis=0)
         ang = jnp.concatenate([xb, xb + 0.5 * jnp.pi], axis=0)
-        F = jnp.concatenate([w, jnp.sin(ang % (100 * jnp.pi))], axis=0)
+        # no safe_sin range reduction: |ang| <= 2^(deg-1)*|coords|/scale +
+        # pi/2 << 100*pi, where fmod would return its input exactly —
+        # bit-identical to the XLA path's sin(x % 100pi), minus the VPU
+        # cost of the mod
+        F = jnp.concatenate([w, jnp.sin(ang)], axis=0)
     else:
         F = w
     return F, vf * smask
 
 
+def _folded_prologue(t_ref, coords, omega, tg, smask, scale, deg, nt):
+    """Prologue for all nt frames, columns stacked frame-major:
+    returns (F (feat, nt*TILE_N), [mask (1, TILE_N)] * nt). Folding the
+    frame axis into the matmul N-dimension runs ONE dense chain per tile
+    (5 dots) instead of nt chains (5*nt dots of N=TILE_N each) — per-dot
+    MXU fill/drain overhead amortizes nt-fold."""
+    Fs, masks = [], []
+    for t in range(nt):
+        F, m = _prologue(t_ref[t, 0], coords, omega, tg, smask, scale, deg)
+        Fs.append(F)
+        masks.append(m)
+    return jnp.concatenate(Fs, axis=1), masks
+
+
 def _forward_chain(F, wb_refs, cfg, dtype):
     """Feature-major dense chain: activations (channels, samples); mirrors
-    models.fields.apply_mlp. Returns (post-relu activations, out row)."""
+    models.fields.apply_mlp. Returns (post-relu activations, out row).
+
+    Activations are stored in the compute dtype: every consumer (the next
+    dense, grad_W, the relu mask) casts to `dtype` anyway, so this is
+    numerically identical and halves bwd VMEM in bfloat16."""
     net_depth, net_width, do_skip = cfg
     skip_layer = net_depth // 2 if do_skip else None
-    h = F
+    h = F.astype(dtype)
     acts = []
 
     def dense(idx, x):
@@ -118,9 +140,9 @@ def _forward_chain(F, wb_refs, cfg, dtype):
         return y + b
 
     for i in range(net_depth):
-        h = jnp.maximum(dense(i, h), 0.0)
+        h = jnp.maximum(dense(i, h), 0.0).astype(dtype)
         if do_skip and i > 0 and i % skip_layer == 0:
-            h = jnp.concatenate([h, F], axis=0)
+            h = jnp.concatenate([h, F.astype(dtype)], axis=0)
         acts.append(h)
     out = dense(net_depth, h)         # (out_channel, N)
     return acts, out
@@ -128,17 +150,19 @@ def _forward_chain(F, wb_refs, cfg, dtype):
 
 def _fwd_kernel(t_ref, coords_ref, omega_ref, tg_ref, smask_ref, *rest,
                 nt, cfg, scale, deg, dtype):
-    """One sample tile, ALL nt frames (statically unrolled): parameter
-    loads amortize across frames and the (nt, TILE_N) output block
-    satisfies Mosaic's (8, 128)-divisible-or-full block constraint."""
+    """One sample tile, ALL nt frames folded into the matmul N-dimension:
+    one 5-dot dense chain over (feat, nt*TILE_N) instead of nt chains of
+    N=TILE_N each. The (nt, TILE_N) output block satisfies Mosaic's
+    (8, 128)-divisible-or-full block constraint."""
     wb_refs = rest[:-1]
     out_ref = rest[-1]
+    tile = coords_ref.shape[1]
+    F, masks = _folded_prologue(t_ref, coords_ref[:], omega_ref[:],
+                                tg_ref[:], smask_ref[:], scale, deg, nt)
+    _, out = _forward_chain(F, wb_refs, cfg, dtype)   # (1, nt*tile)
+    em = jax.nn.sigmoid(out - 10.0)
     for t in range(nt):
-        F, mask = _prologue(t_ref[t, 0], coords_ref[:], omega_ref[:],
-                            tg_ref[:], smask_ref[:], scale, deg)
-        _, out = _forward_chain(F, wb_refs, cfg, dtype)
-        em = jax.nn.sigmoid(out - 10.0)
-        out_ref[t:t + 1, :] = em * mask
+        out_ref[t:t + 1, :] = em[:, t * tile:(t + 1) * tile] * masks[t]
 
 
 def _bwd_kernel(t_ref, coords_ref, omega_ref, tg_ref, smask_ref, g_ref,
@@ -163,39 +187,47 @@ def _bwd_kernel(t_ref, coords_ref, omega_ref, tg_ref, smask_ref, g_ref,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    # per-frame gradient contributions accumulate into VMEM registers,
-    # then flush once per tile into the revisited output blocks
+    # frames are folded into the matmul N-dimension (rematerialized
+    # forward, see _fwd_kernel), so each parameter gradient is ONE
+    # N-contraction per tile; results flush into the revisited output
+    # blocks across the (sequential) grid
     local = [None] * len(grad_refs)
 
     def add(k, val):
         local[k] = val if local[k] is None else local[k] + val
 
-    for t in range(nt):
-        F, mask = _prologue(t_ref[t, 0], coords_ref[:], omega_ref[:],
-                            tg_ref[:], smask_ref[:], scale, deg)
-        acts, out = _forward_chain(F, wb_refs, cfg, dtype)
-        em = jax.nn.sigmoid(out - 10.0)
-        d_out = g_ref[t:t + 1, :] * mask * em * (1.0 - em)  # (1, TILE_N)
+    tile = coords_ref.shape[1]
+    F, masks = _folded_prologue(t_ref, coords_ref[:], omega_ref[:],
+                                tg_ref[:], smask_ref[:], scale, deg, nt)
+    acts, out = _forward_chain(F, wb_refs, cfg, dtype)
+    em = jax.nn.sigmoid(out - 10.0)
+    g_all = jnp.concatenate(
+        [g_ref[t:t + 1, :] * masks[t] for t in range(nt)], axis=1)
+    d_out = (g_all * em * (1.0 - em)).astype(dtype)  # (1, nt*tile)
 
-        h_prev = acts[-1]
-        add(2 * net_depth, grad_W(d_out, h_prev))
-        add(2 * net_depth + 1, jnp.sum(d_out, axis=1, keepdims=True))
-        d_h = back_h(wb_refs[2 * net_depth][:], d_out)  # (in, N)
+    h_prev = acts[-1]
+    add(2 * net_depth, grad_W(d_out, h_prev))
+    add(2 * net_depth + 1, jnp.sum(d_out.astype(jnp.float32), axis=1,
+                                   keepdims=True))
+    d_h = back_h(wb_refs[2 * net_depth][:], d_out)  # (in, nt*tile)
 
-        for i in range(net_depth - 1, -1, -1):
-            h_i = acts[i]
-            if do_skip and i > 0 and i % skip_layer == 0:
-                # h_i = concat([relu_out, F], 0); F carries no gradient
-                d_h = d_h[:net_width]
-                relu_out = h_i[:net_width]
-            else:
-                relu_out = h_i
-            d_pre = jnp.where(relu_out > 0.0, d_h, 0.0)
-            inp = F if i == 0 else acts[i - 1]
-            add(2 * i, grad_W(d_pre, inp))
-            add(2 * i + 1, jnp.sum(d_pre, axis=1, keepdims=True))
-            if i > 0:
-                d_h = back_h(wb_refs[2 * i][:], d_pre)
+    for i in range(net_depth - 1, -1, -1):
+        h_i = acts[i]
+        if do_skip and i > 0 and i % skip_layer == 0:
+            # h_i = concat([relu_out, F], 0); F carries no gradient
+            d_h = d_h[:net_width]
+            relu_out = h_i[:net_width]
+        else:
+            relu_out = h_i
+        # Mosaic lacks bf16 vector compares: mask in f32
+        d_pre = jnp.where(relu_out.astype(jnp.float32) > 0.0, d_h,
+                          0.0).astype(dtype)
+        inp = F.astype(dtype) if i == 0 else acts[i - 1]
+        add(2 * i, grad_W(d_pre, inp))
+        add(2 * i + 1, jnp.sum(d_pre.astype(jnp.float32), axis=1,
+                               keepdims=True))
+        if i > 0:
+            d_h = back_h(wb_refs[2 * i][:], d_pre)
 
     is_first = pl.program_id(0) == 0
     for k, ref in enumerate(grad_refs):
@@ -212,21 +244,21 @@ def _full_specs(n):
     return [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n)]
 
 
-def _sample_specs(nt):
+def _sample_specs(nt, tile):
     """BlockSpecs for (t_eff, coords, Omega, t_geos_rel, smask).
 
     t_eff rides whole in SMEM; per-sample constants are feature-major
     (lanes = samples), grid is over sample tiles only — the kernel
-    statically unrolls the nt frames per tile."""
+    folds the nt frames into each tile's matmul N-dimension."""
     return [
         pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec((3, TILE_N), lambda j: (0, j),
+        pl.BlockSpec((3, tile), lambda j: (0, j),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, TILE_N), lambda j: (0, j),
+        pl.BlockSpec((1, tile), lambda j: (0, j),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, TILE_N), lambda j: (0, j),
+        pl.BlockSpec((1, tile), lambda j: (0, j),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, TILE_N), lambda j: (0, j),
+        pl.BlockSpec((1, tile), lambda j: (0, j),
                      memory_space=pltpu.VMEM),
     ]
 
@@ -237,15 +269,20 @@ def _render_fwd(t_eff, coords, omega, tg, smask, packed, cfg, scale, deg,
                 compute_dtype):
     n = coords.shape[1]
     nt = t_eff.shape[0]
-    n_tiles = n // TILE_N
+    # folded frames put nt*tile columns in VMEM at once: shrink the tile
+    # as nt grows so the fwd working set stays roughly constant
+    tile = TILE_N
+    while nt * tile > 8 * TILE_N and tile > 512:
+        tile //= 2
+    n_tiles = n // tile
     dtype = jnp.bfloat16 if compute_dtype == 'bfloat16' else jnp.float32
     kernel = functools.partial(_fwd_kernel, nt=nt, cfg=cfg, scale=scale,
                                deg=deg, dtype=dtype)
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=_sample_specs(nt) + _full_specs(len(packed)),
-        out_specs=pl.BlockSpec((nt, TILE_N), lambda j: (0, j),
+        in_specs=_sample_specs(nt, tile) + _full_specs(len(packed)),
+        out_specs=pl.BlockSpec((nt, tile), lambda j: (0, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nt, n), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -260,8 +297,14 @@ def _render_bwd(t_eff, coords, omega, tg, smask, g_em, packed, cfg, scale,
                 deg, compute_dtype):
     n = coords.shape[1]
     nt = t_eff.shape[0]
-    n_tiles = n // TILE_N
     dtype = jnp.bfloat16 if compute_dtype == 'bfloat16' else jnp.float32
+    # the rematerializing bwd holds all activations for nt*tile folded
+    # columns: bound the working set (f32 activations are 2x)
+    max_cols = (6 if dtype == jnp.bfloat16 else 4) * TILE_N
+    tile = TILE_N
+    while nt * tile > max_cols and tile > 512:
+        tile //= 2
+    n_tiles = n // tile
     kernel = functools.partial(_bwd_kernel, nt=nt, cfg=cfg, scale=scale,
                                deg=deg, dtype=dtype)
     # grads come out feature-major: dW^T (out, in), db (out, 1)
@@ -275,12 +318,12 @@ def _render_bwd(t_eff, coords, omega, tg, smask, g_em, packed, cfg, scale,
         return pl.BlockSpec(shape, lambda j, _nd=ndim: (0,) * _nd,
                             memory_space=pltpu.VMEM)
 
-    g_spec = pl.BlockSpec((nt, TILE_N), lambda j: (0, j),
+    g_spec = pl.BlockSpec((nt, tile), lambda j: (0, j),
                           memory_space=pltpu.VMEM)
     grads = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=_sample_specs(nt) + [g_spec] + _full_specs(len(packed)),
+        in_specs=_sample_specs(nt, tile) + [g_spec] + _full_specs(len(packed)),
         out_specs=[const_spec(s.shape) for s in grad_shapes],
         out_shape=grad_shapes,
         compiler_params=pltpu.CompilerParams(

@@ -122,6 +122,14 @@ class CompactRayArgs:
     t_geos_rel: Any    # (N_pad,)
     pixel_ids: Any     # (N_pad,) int32, sorted; padding rows -> npix
     t_injection: Any   # scalar f32 offset
+    # grouped-reduction layout (see _REDUCE_G): the TPU scatter-add
+    # behind segment_sum costs ~15 cycles/row; re-gathering samples into
+    # per-pixel segments padded to multiples of G makes the scatter G x
+    # smaller (group sums are vectorized), at the price of one cheap
+    # static gather. None -> plain segment_sum.
+    red_gather: Any = None     # (N_red,) int32 into the sample axis
+    red_weights: Any = None    # (nstokes, N_red); 0 on filler slots
+    red_group_ids: Any = None  # (N_red // G,) int32, sorted; pads -> npix
     # aux (static)
     image_shape: tuple = ()
     polarized: bool = False
@@ -130,7 +138,7 @@ class CompactRayArgs:
     t_units: Any = None
 
     _LEAVES = ('coords', 'Omega', 'weights', 't_geos_rel', 'pixel_ids',
-               't_injection')
+               't_injection', 'red_gather', 'red_weights', 'red_group_ids')
     _AUX = ('image_shape', 'polarized', 't_start_obs', 't_to_M', 't_units')
 
     def tree_flatten(self):
@@ -151,6 +159,10 @@ class CompactRayArgs:
 
     def frame_times_M(self, t_frames):
         return (jnp.asarray(t_frames) - self.t_start_obs) * self.t_to_M
+
+
+# group size of the two-level compact reduction (see CompactRayArgs)
+_REDUCE_G = 8
 
 
 def compact_raytracing_args(rt: RayTracingArgs, predictor,
@@ -202,6 +214,38 @@ def compact_raytracing_args(rt: RayTracingArgs, predictor,
     pix = np.concatenate([pixel_ids,
                           np.full(n_pad - n_eff, na * nb, np.int64)])
 
+    # grouped-reduction layout: per-pixel segments padded to multiples of
+    # G, so pixel sums become (vectorized group sums) + a G x smaller
+    # sorted scatter. Host-side, static per model config.
+    G = _REDUCE_G
+    npix = na * nb
+    counts = np.bincount(pixel_ids, minlength=npix)
+    nz = np.flatnonzero(counts)
+    c_nz = counts[nz]
+    seg_starts = np.concatenate([[0], np.cumsum(c_nz)])[:-1]
+    ng = -(-c_nz // G)                       # groups per pixel
+    slots_per_pix = ng * G
+    tot_slots = int(slots_per_pix.sum())
+    pix_of_slot = np.repeat(np.arange(nz.size), slots_per_pix)
+    slot_off = np.concatenate([[0], np.cumsum(slots_per_pix)])[:-1]
+    slot_in_pix = np.arange(tot_slots) - slot_off[pix_of_slot]
+    valid_slot = slot_in_pix < c_nz[pix_of_slot]
+    red_gather = np.where(valid_slot,
+                          seg_starts[pix_of_slot] + slot_in_pix, 0)
+    red_weights = np.where(valid_slot[None], W[:, red_gather], 0.0)
+    red_group_ids = np.repeat(nz, ng)
+    # pad group count to a multiple of 8 (sublane-friendly scatter rows)
+    g_tot = red_group_ids.size
+    g_pad = (g_tot + 7) // 8 * 8 - g_tot
+    if g_pad:
+        red_gather = np.concatenate(
+            [red_gather, np.zeros(g_pad * G, np.int64)])
+        red_weights = np.concatenate(
+            [red_weights, np.zeros((red_weights.shape[0], g_pad * G),
+                                   red_weights.dtype)], axis=1)
+        red_group_ids = np.concatenate(
+            [red_group_ids, np.full(g_pad, npix, np.int64)])
+
     return CompactRayArgs(
         coords=jnp.asarray(coords_c, jnp.float32),
         Omega=Omega_c,
@@ -211,6 +255,9 @@ def compact_raytracing_args(rt: RayTracingArgs, predictor,
                                       fill=-1e30), jnp.float32),
         pixel_ids=jnp.asarray(pix, jnp.int32),
         t_injection=rt.t_injection,
+        red_gather=jnp.asarray(red_gather, jnp.int32),
+        red_weights=jnp.asarray(red_weights, jnp.float32),
+        red_group_ids=jnp.asarray(red_group_ids, jnp.int32),
         image_shape=(na, nb),
         polarized=polarized,
         t_start_obs=rt.t_start_obs,
@@ -222,6 +269,57 @@ def compact_raytracing_args(rt: RayTracingArgs, predictor,
 # ---------------------------------------------------------------------------
 # forward + losses
 # ---------------------------------------------------------------------------
+def _reduce_to_images(em, crt: CompactRayArgs):
+    """Per-pixel weighted sums of compact samples: em (F, N) ->
+    images (F, nstokes, npix).
+
+    Uses the grouped layout when present (one static gather + vectorized
+    sums of G + a G x smaller sorted scatter — the direct segment_sum
+    scatter-add costs ~0.6 ms/step on v5e, 20% of the train step). The
+    custom VJP keeps the backward a plain gather (the exact adjoint:
+    d_em[i] = sum_s d_img[s, pixel_ids[i]] * weights[s, i]), which the
+    autodiff of the gather layout would otherwise turn into another
+    scatter."""
+    npix = crt.npix
+
+    def direct(em):
+        def per_frame(e):
+            contrib = e[None, :] * crt.weights          # (nstokes, N)
+            return jax.vmap(lambda c: jax.ops.segment_sum(
+                c, crt.pixel_ids, num_segments=npix + 1,
+                indices_are_sorted=True)[:npix])(contrib)
+        return jax.vmap(per_frame)(em)
+
+    if crt.red_gather is None:
+        return direct(em)
+
+    def grouped(em):
+        F = em.shape[0]
+        emg = jnp.take(em, crt.red_gather, axis=1)      # (F, N_red)
+        contrib = emg[:, None, :] * crt.red_weights     # (F, ns, N_red)
+        gsum = contrib.reshape(F, crt.num_stokes, -1, _REDUCE_G).sum(-1)
+        return jax.vmap(jax.vmap(lambda g: jax.ops.segment_sum(
+            g, crt.red_group_ids, num_segments=npix + 1,
+            indices_are_sorted=True)[:npix]))(gsum)
+
+    @jax.custom_vjp
+    def reduce(em):
+        return grouped(em)
+
+    def reduce_fwd(em):
+        return grouped(em), None
+
+    def reduce_bwd(_, d_img):
+        dpad = jnp.pad(d_img, ((0, 0), (0, 0), (0, 1)))  # padding pixel
+        d_em = jnp.einsum('fsn,sn->fn',
+                          jnp.take(dpad, crt.pixel_ids, axis=2),
+                          crt.weights)
+        return (d_em,)
+
+    reduce.defvjp(reduce_fwd, reduce_bwd)
+    return reduce(em)
+
+
 def predict_emission(params, predictor, t_frames_M, rt: RayTracingArgs):
     """Velocity-warped emission along rays for a batch of frames."""
     from bhnerf_tpu import emission as emission_lib
@@ -257,15 +355,7 @@ def _compact_prediction(params, predictor, t_frames_M, crt: CompactRayArgs,
         # rows whose coords are 0); only t-validity is dynamic here
         emission = predictor.emission_at(params, warped, valid, crt.coords)
 
-    npix = crt.npix
-
-    def per_frame(em):
-        contrib = em[None, :] * crt.weights          # (nstokes, N)
-        return jax.vmap(lambda c: jax.ops.segment_sum(
-            c, crt.pixel_ids, num_segments=npix + 1,
-            indices_are_sorted=True)[:npix])(contrib)
-
-    images = jax.vmap(per_frame)(emission.reshape(-1, n))
+    images = _reduce_to_images(emission.reshape(-1, n), crt)
     images = images.reshape(*t_shape, crt.num_stokes, *crt.image_shape)
     if not crt.polarized:
         images = images[..., 0, :, :]

@@ -1,0 +1,105 @@
+"""Profile the fused scan step and print the device-op time breakdown.
+
+Writes a jax.profiler trace of REPS scanned train steps, then parses the
+perfetto JSON to aggregate TensorCore op durations. Run on the real chip.
+"""
+import glob
+import gzip
+import json
+import os
+import sys
+import time
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+os.environ['JAX_PLATFORMS'] = ''
+
+import numpy as np  # noqa: E402
+
+REPS = 50
+TRACE_DIR = '/tmp/bhnerf_tpu_trace'
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update('jax_compilation_cache_dir',
+                      '/tmp/bhnerf_tpu_jax_cache')
+
+    from bhnerf_tpu import constants, units
+    from bhnerf_tpu.geodesics import image_plane_geos
+    from bhnerf_tpu.models import NeRFPredictor
+    from bhnerf_tpu.train import TrainState, make_optimizer, raytracing_args
+    from bhnerf_tpu.train.step import (compact_raytracing_args,
+                                       make_scan_step)
+
+    fov = 16.0
+    geos = image_plane_geos(
+        spin=0.2, inclination=np.deg2rad(60.0),
+        alpha_range=(-fov / 2, fov / 2), beta_range=(-fov / 2, fov / 2),
+        ngeo=100, num_alpha=64, num_beta=64, n_fine=4096)
+    Omega = geos.keplerian_omega()
+    GM_hr = constants.GM_c3(constants.sgra_mass).to('hr').value
+    rt = raytracing_args(geos, Omega, -float(geos.r_o + 4),
+                         units.Quantity(0.0, 'hr'))
+    predictor = NeRFPredictor(scale=fov / 2, rmin=3.0, rmax=fov / 2,
+                              z_width=2.0, compute_dtype='bfloat16')
+    crt = compact_raytracing_args(rt, predictor)
+
+    nt = 64
+    rng = np.random.default_rng(0)
+    target = jnp.asarray(rng.random((nt, 64, 64), dtype=np.float32))
+    sigma = jnp.ones_like(target)
+    offset = jnp.zeros_like(target)
+    t_all = jnp.asarray(np.linspace(0.0, 200.0 * GM_hr, nt,
+                                    dtype=np.float32))
+    scan_fn = make_scan_step(predictor=predictor, kind='image',
+                             dtype='full', fused=True, batchsize=6,
+                             chunk=REPS)
+    state = TrainState.create(predictor.init_params(seed=0),
+                              make_optimizer(50000))
+    state, losses = scan_fn(state, target, sigma, offset, t_all,
+                            jax.random.PRNGKey(0), crt, 1.0)
+    jax.block_until_ready(losses)
+
+    with jax.profiler.trace(TRACE_DIR):
+        t0 = time.perf_counter()
+        state, losses = scan_fn(state, target, sigma, offset, t_all,
+                                jax.random.PRNGKey(1), crt, 1.0)
+        jax.block_until_ready(losses)
+        wall = time.perf_counter() - t0
+    print(f'wall: {1e3 * wall / REPS:.3f} ms/step', flush=True)
+
+    traces = sorted(glob.glob(
+        TRACE_DIR + '/**/*.trace.json.gz', recursive=True))
+    if not traces:
+        print('no trace file found'); return
+    with gzip.open(traces[-1], 'rt') as f:
+        data = json.load(f)
+
+    # find TensorCore process/thread ids
+    events = data['traceEvents']
+    pid_names = {e['pid']: e['args'].get('name', '') for e in events
+                 if e.get('ph') == 'M' and e.get('name') == 'process_name'
+                 and 'args' in e}
+    device_pids = {p for p, n in pid_names.items()
+                   if 'TPU' in n or 'TensorCore' in n}
+    agg = defaultdict(float)
+    total = 0.0
+    for e in events:
+        if e.get('ph') == 'X' and e.get('pid') in device_pids:
+            name = e.get('name', '?')
+            dur = e.get('dur', 0) / 1e3  # us -> ms
+            agg[name] += dur
+            total += dur
+    print(f'total device op time: {total:.1f} ms over {REPS} steps '
+          f'({total / REPS:.3f} ms/step)')
+    for name, dur in sorted(agg.items(), key=lambda kv: -kv[1])[:25]:
+        print(f'{dur / REPS:8.4f} ms/step  {dur / max(total, 1e-9):6.1%}  '
+              f'{name[:90]}')
+
+
+if __name__ == '__main__':
+    main()

@@ -80,6 +80,37 @@ def test_volume_visualizer_overlays():
     assert lum_w[c, c].mean() < 0.5  # dark gray, not saturated
 
 
+def test_ipyvolume_3d_replacement(tmp_path):
+    """Transfer-function volume rendering (reference ipyvolume_3d,
+    visualization.py:758-779) without ipyvolume: 3D returns an RGB
+    image, 4D returns an animation."""
+    vol = np.zeros((16, 16, 16))
+    vol[6:10, 6:10, 6:10] = 1.0
+    fig, rgb = visualization.ipyvolume_3d(vol, fov=16.0,
+                                          resolution=(24, 24), samples=24)
+    assert rgb.shape == (24, 24, 3)
+    assert np.isfinite(rgb).all() and rgb.max() > 0.02
+    movie = np.stack([vol, np.roll(vol, 4, axis=0)])
+    anim = visualization.ipyvolume_3d(movie, fov=16.0,
+                                      resolution=(16, 16), samples=16)
+    assert anim is not None
+    with pytest.raises(AttributeError):
+        visualization.ipyvolume_3d(vol[0], fov=16.0)
+
+
+def test_animate_chi2_3d():
+    """Working form of the reference's broken hypothesis-scan animation
+    (visualization.py:11-41)."""
+    import pandas as pd
+    movie = np.random.default_rng(0).random((5, 8, 8))
+    chi2 = pd.Series([3.0, 1.5, 1.0, 1.4, 2.8],
+                     index=[30.0, 45.0, 60.0, 75.0, 90.0])
+    anim = visualization.animate_chi2_3d(movie, chi2, true_val=60.0)
+    assert anim is not None
+    ax = visualization.plot_chi2(chi2, true_val=60.0)
+    assert ax is not None
+
+
 def test_fft_and_antialias():
     movie = np.random.default_rng(0).random((3, 16, 16))
     fft = np.asarray(utils.fft_transform(movie))
