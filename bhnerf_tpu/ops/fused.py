@@ -48,14 +48,15 @@ def _interpret():
 
 
 def pack_params(params, net_depth):
-    """Pytree params -> flat list [W0, b0_col, W1, b1_col, ...].
+    """Pytree params -> flat list [W0^T, b0_col, W1^T, b1_col, ...].
 
-    Weights stay (in, out); biases become (out, 1) columns to match the
-    kernel's feature-major (channels, samples) activation layout."""
+    Weights are transposed to (out, in) so the kernel's feature-major
+    chain is a standard (M, K) @ (K, N) dot (no per-dot relayout);
+    biases become (out, 1) columns."""
     packed = []
     for i in range(net_depth + 1):
         p = params[f'dense_{i}']
-        packed.append(p['kernel'])          # (in, out)
+        packed.append(p['kernel'].T)        # (out, in)
         packed.append(p['bias'][:, None])   # (out, 1)
     return packed
 
@@ -130,12 +131,12 @@ def _forward_chain(F, wb_refs, cfg, dtype):
     acts = []
 
     def dense(idx, x):
-        W = wb_refs[2 * idx][:]       # (in, out)
+        W_T = wb_refs[2 * idx][:]     # (out, in)
         b = wb_refs[2 * idx + 1][:]   # (out, 1)
-        # y^T = W^T x with x (in, N): contract the 'in' axis of both
+        # standard (out, in) @ (in, N) matmul
         y = jax.lax.dot_general(
-            W.astype(dtype), x.astype(dtype),
-            dimension_numbers=(((0,), (0,)), ((), ())),
+            W_T.astype(dtype), x.astype(dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return y + b
 
@@ -149,13 +150,21 @@ def _forward_chain(F, wb_refs, cfg, dtype):
 
 
 def _fwd_kernel(t_ref, coords_ref, omega_ref, tg_ref, smask_ref, *rest,
-                nt, cfg, scale, deg, dtype):
+                nt, cfg, scale, deg, dtype, stash):
     """One sample tile, ALL nt frames folded into the matmul N-dimension:
     one 5-dot dense chain over (feat, nt*TILE_N) instead of nt chains of
     N=TILE_N each. The (nt, TILE_N) output block satisfies Mosaic's
-    (8, 128)-divisible-or-full block constraint."""
-    wb_refs = rest[:-1]
-    out_ref = rest[-1]
+    (8, 128)-divisible-or-full block constraint.
+
+    stash=True additionally writes the prologue features F (compute
+    dtype) for the backward pass, which then skips the warp/posenc
+    rematerialization entirely."""
+    if stash:
+        wb_refs = rest[:-2]
+        out_ref, f_ref = rest[-2:]
+    else:
+        wb_refs = rest[:-1]
+        out_ref = rest[-1]
     tile = coords_ref.shape[1]
     F, masks = _folded_prologue(t_ref, coords_ref[:], omega_ref[:],
                                 tg_ref[:], smask_ref[:], scale, deg, nt)
@@ -163,10 +172,16 @@ def _fwd_kernel(t_ref, coords_ref, omega_ref, tg_ref, smask_ref, *rest,
     em = jax.nn.sigmoid(out - 10.0)
     for t in range(nt):
         out_ref[t:t + 1, :] = em[:, t * tile:(t + 1) * tile] * masks[t]
+    if stash:
+        # stored verbatim in the kernel's column-folded layout (the bwd
+        # kernel runs the same tile, so no reshuffling on either side)
+        f_ref[:] = F.astype(dtype)
 
 
-def _bwd_kernel(t_ref, coords_ref, omega_ref, tg_ref, smask_ref, g_ref,
-                *rest, nt, cfg, scale, deg, dtype):
+def _bwd_kernel(g_ref, em_ref, f_ref, *rest, nt, cfg, dtype):
+    """Parameter gradients from stashed (em, F): no prologue remat, no
+    final dense (the stored em is the masked sigmoid output, and the
+    0/1 mask folds into it: d_out = g * em * (1 - em))."""
     net_depth, net_width, do_skip = cfg
     skip_layer = net_depth // 2 if do_skip else None
     n_wb = 2 * (net_depth + 1)
@@ -180,11 +195,12 @@ def _bwd_kernel(t_ref, coords_ref, omega_ref, tg_ref, smask_ref, g_ref,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    def back_h(W, d_pre):
-        """d_h (in, N) = W (in, out) @ d_pre (out, N)."""
+    def back_h(W_T, d_pre):
+        """d_h (in, N) = W_T^T @ d_pre: contract the 'out' axis of
+        W_T (out, in) and d_pre (out, N)."""
         return jax.lax.dot_general(
-            W.astype(dtype), d_pre.astype(dtype),
-            dimension_numbers=(((1,), (0,)), ((), ())),
+            W_T.astype(dtype), d_pre.astype(dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     # frames are folded into the matmul N-dimension (rematerialized
@@ -196,13 +212,10 @@ def _bwd_kernel(t_ref, coords_ref, omega_ref, tg_ref, smask_ref, g_ref,
     def add(k, val):
         local[k] = val if local[k] is None else local[k] + val
 
-    tile = coords_ref.shape[1]
-    F, masks = _folded_prologue(t_ref, coords_ref[:], omega_ref[:],
-                                tg_ref[:], smask_ref[:], scale, deg, nt)
-    acts, out = _forward_chain(F, wb_refs, cfg, dtype)
-    em = jax.nn.sigmoid(out - 10.0)
-    g_all = jnp.concatenate(
-        [g_ref[t:t + 1, :] * masks[t] for t in range(nt)], axis=1)
+    F = f_ref[:]                               # (feat, nt*tile)
+    acts = _forward_chain(F, wb_refs, cfg, dtype)[0]
+    em = jnp.concatenate([em_ref[t:t + 1, :] for t in range(nt)], axis=1)
+    g_all = jnp.concatenate([g_ref[t:t + 1, :] for t in range(nt)], axis=1)
     d_out = (g_all * em * (1.0 - em)).astype(dtype)  # (1, nt*tile)
 
     h_prev = acts[-1]
@@ -263,28 +276,48 @@ def _sample_specs(nt, tile):
     ]
 
 
+def _pick_tile(nt, dtype):
+    """Sample-tile width: folded frames put nt*tile columns (and, in the
+    bwd kernel, their activations) in VMEM at once — shrink the tile as
+    nt grows; f32 activations are 2x bf16. Shared by fwd/bwd so the
+    stashed F layout matches."""
+    max_cols = (6 if dtype == jnp.bfloat16 else 4) * TILE_N
+    tile = TILE_N
+    while nt * tile > max_cols and tile > 512:
+        tile //= 2
+    return tile
+
+
 @functools.partial(jax.jit,
-                   static_argnames=('cfg', 'scale', 'deg', 'compute_dtype'))
+                   static_argnames=('cfg', 'scale', 'deg', 'compute_dtype',
+                                    'stash'))
 def _render_fwd(t_eff, coords, omega, tg, smask, packed, cfg, scale, deg,
-                compute_dtype):
+                compute_dtype, stash=False):
     n = coords.shape[1]
     nt = t_eff.shape[0]
-    # folded frames put nt*tile columns in VMEM at once: shrink the tile
-    # as nt grows so the fwd working set stays roughly constant
-    tile = TILE_N
-    while nt * tile > 8 * TILE_N and tile > 512:
-        tile //= 2
-    n_tiles = n // tile
     dtype = jnp.bfloat16 if compute_dtype == 'bfloat16' else jnp.float32
+    tile = _pick_tile(nt, dtype)
+    n_tiles = n // tile
     kernel = functools.partial(_fwd_kernel, nt=nt, cfg=cfg, scale=scale,
-                               deg=deg, dtype=dtype)
+                               deg=deg, dtype=dtype, stash=stash)
+    feat = 3 * (1 + 2 * deg)
+    out_specs = pl.BlockSpec((nt, tile), lambda j: (0, j),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((nt, n), jnp.float32)
+    if stash:
+        # F rides in the kernel's column-folded layout: tile j occupies
+        # columns [j*nt*tile, (j+1)*nt*tile), frame-major within
+        out_specs = [out_specs,
+                     pl.BlockSpec((feat, nt * tile), lambda j: (0, j),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((feat, nt * n), dtype)]
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=_sample_specs(nt, tile) + _full_specs(len(packed)),
-        out_specs=pl.BlockSpec((nt, tile), lambda j: (0, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nt, n), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
@@ -292,26 +325,17 @@ def _render_fwd(t_eff, coords, omega, tg, smask, packed, cfg, scale, deg,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('cfg', 'scale', 'deg', 'compute_dtype'))
-def _render_bwd(t_eff, coords, omega, tg, smask, g_em, packed, cfg, scale,
-                deg, compute_dtype):
-    n = coords.shape[1]
-    nt = t_eff.shape[0]
+                   static_argnames=('cfg', 'compute_dtype'))
+def _render_bwd(g_em, em, f_store, packed, cfg, compute_dtype):
+    nt, n = g_em.shape
+    feat = f_store.shape[0]
     dtype = jnp.bfloat16 if compute_dtype == 'bfloat16' else jnp.float32
-    # the rematerializing bwd holds all activations for nt*tile folded
-    # columns: bound the working set (f32 activations are 2x)
-    max_cols = (6 if dtype == jnp.bfloat16 else 4) * TILE_N
-    tile = TILE_N
-    while nt * tile > max_cols and tile > 512:
-        tile //= 2
+    tile = _pick_tile(nt, dtype)
     n_tiles = n // tile
-    kernel = functools.partial(_bwd_kernel, nt=nt, cfg=cfg, scale=scale,
-                               deg=deg, dtype=dtype)
-    # grads come out feature-major: dW^T (out, in), db (out, 1)
-    grad_shapes = []
-    for k, p in enumerate(packed):
-        shape = (p.shape[1], p.shape[0]) if k % 2 == 0 else p.shape
-        grad_shapes.append(jax.ShapeDtypeStruct(shape, jnp.float32))
+    kernel = functools.partial(_bwd_kernel, nt=nt, cfg=cfg, dtype=dtype)
+    # grads match the packed layout: dW^T (out, in), db (out, 1)
+    grad_shapes = [jax.ShapeDtypeStruct(p.shape, jnp.float32)
+                   for p in packed]
 
     def const_spec(shape):
         ndim = len(shape)
@@ -320,16 +344,18 @@ def _render_bwd(t_eff, coords, omega, tg, smask, g_em, packed, cfg, scale,
 
     g_spec = pl.BlockSpec((nt, tile), lambda j: (0, j),
                           memory_space=pltpu.VMEM)
+    f_spec = pl.BlockSpec((feat, nt * tile), lambda j: (0, j),
+                          memory_space=pltpu.VMEM)
     grads = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=_sample_specs(nt, tile) + [g_spec] + _full_specs(len(packed)),
+        in_specs=[g_spec, g_spec, f_spec] + _full_specs(len(packed)),
         out_specs=[const_spec(s.shape) for s in grad_shapes],
         out_shape=grad_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(t_eff, coords, omega, tg, smask, g_em, *packed)
+    )(g_em, em, f_store, *packed)
     return grads
 
 
@@ -353,20 +379,24 @@ def fused_render(params, coords, omega, tg, smask, t_eff, cfg, scale, deg,
 
 def _fr_fwd(params, coords, omega, tg, smask, t_eff, cfg, scale, deg,
             compute_dtype):
-    out = fused_render(params, coords, omega, tg, smask, t_eff, cfg, scale,
-                       deg, compute_dtype)
-    return out, (params, coords, omega, tg, smask, t_eff)
+    packed = pack_params(params, cfg[0])
+    out, f_store = _render_fwd(t_eff, coords, omega, tg, smask, packed,
+                               cfg, scale, deg, compute_dtype, stash=True)
+    # residuals: the masked emission (a fwd output anyway) + the prologue
+    # features in compute dtype — the bwd kernel then skips the
+    # warp/posenc remat and the final dense entirely
+    return out, (params, out, f_store)
 
 
 def _fr_bwd(cfg, scale, deg, compute_dtype, residuals, g_em):
-    params, coords, omega, tg, smask, t_eff = residuals
+    params, em, f_store = residuals
     packed = pack_params(params, cfg[0])
-    flat = _render_bwd(t_eff, coords, omega, tg, smask, g_em, packed, cfg,
-                       scale, deg, compute_dtype)
+    flat = _render_bwd(g_em, em, f_store, packed, cfg, compute_dtype)
     d_params = unpack_grads(list(flat), cfg[0])
-    return (d_params, jnp.zeros_like(coords), jnp.zeros_like(omega),
-            jnp.zeros_like(tg), jnp.zeros_like(smask),
-            jnp.zeros_like(t_eff))
+    nt, n = em.shape
+    zrow = jnp.zeros((1, n), jnp.float32)
+    return (d_params, jnp.zeros((3, n), jnp.float32), zrow, zrow, zrow,
+            jnp.zeros((nt, 1), jnp.float32))
 
 
 fused_render.defvjp(_fr_fwd, _fr_bwd)
