@@ -87,6 +87,41 @@ def test_compact_gradients_match(setup):
     jax.tree_util.tree_map_with_path(compare, g_d, g_c)
 
 
+def test_grouped_reduction_matches_direct_scatter(setup):
+    """The grouped per-pixel reduction (static gather + group sums + 8x
+    smaller scatter, custom VJP) must equal the direct segment_sum path
+    in both values and input gradients."""
+    import dataclasses
+    from bhnerf_tpu.train.step import _reduce_to_images
+    predictor, params, rt, _, t_frames_M = setup
+    crt = compact_raytracing_args(rt, predictor)
+    assert crt.red_gather is not None
+    n = crt.coords.shape[-1]
+    em = jnp.asarray(np.random.default_rng(1).random((3, n)), jnp.float32)
+    crt_direct = dataclasses.replace(crt, red_gather=None,
+                                     red_weights=None, red_group_ids=None)
+
+    grouped = np.asarray(_reduce_to_images(em, crt))
+    direct = np.asarray(_reduce_to_images(em, crt_direct))
+    scale = np.abs(direct).max() + 1e-12
+    np.testing.assert_allclose(grouped / scale, direct / scale, atol=2e-6)
+
+    # linear, nonuniform cotangent: a nonlinear one (e.g. sin) would
+    # amplify the legitimate f32 reassociation difference of the two
+    # forward sums into the gradients
+    cot = jnp.asarray(np.random.default_rng(2).normal(
+        size=(3, crt.num_stokes, crt.npix)), jnp.float32)
+
+    def total(e, args):
+        img = _reduce_to_images(e, args)
+        return jnp.sum(img * cot)
+
+    g_grouped = np.asarray(jax.grad(total)(em, crt))
+    g_direct = np.asarray(jax.grad(total)(em, crt_direct))
+    gs = np.abs(g_direct).max() + 1e-12
+    np.testing.assert_allclose(g_grouped / gs, g_direct / gs, atol=2e-6)
+
+
 def test_compact_fused_matches(setup):
     predictor, params, rt, _, t_frames_M = setup
     crt = compact_raytracing_args(rt, predictor)
