@@ -95,9 +95,11 @@ def _prologue(t, coords, omega, tg, smask, scale, deg):
         xb = jnp.concatenate([w * (2.0 ** i) for i in range(deg)], axis=0)
         ang = jnp.concatenate([xb, xb + 0.5 * jnp.pi], axis=0)
         # no safe_sin range reduction: |ang| <= 2^(deg-1)*|coords|/scale +
-        # pi/2 << 100*pi, where fmod would return its input exactly —
-        # bit-identical to the XLA path's sin(x % 100pi), minus the VPU
-        # cost of the mod
+        # pi/2 << 100*pi. For ang >= 0 this is bit-identical to the XLA
+        # path's sin(ang % 100pi); for ang < 0 the XLA floor-mod shifts
+        # by 100pi whose f32 rounding costs it ~1.5e-5 of angle — the
+        # kernel is the MORE accurate of the two there (covered by the
+        # fused-vs-XLA test tolerances)
         F = jnp.concatenate([w, jnp.sin(ang)], axis=0)
     else:
         F = w
@@ -367,6 +369,12 @@ def fused_render(params, coords, omega, tg, smask, t_eff, cfg, scale, deg,
     coords (3, N), omega/tg/smask (1, N) with N a multiple of TILE_N;
     t_eff (nt, 1) frame times in M units with t_injection subtracted.
     Returns emission (nt, N). Gradients flow to `params` only.
+
+    smask MUST be a binary 0/1 mask: the backward kernel reconstructs
+    the sigmoid derivative from the stored masked emission
+    (d_out = g*em*(1-em)), which is exact only when the mask is 0/1.
+    Every in-repo caller passes a boolean domain mask; fractional
+    weights belong in CompactRayArgs.weights / rt.J instead.
     """
     if coords.shape[1] % TILE_N:
         raise ValueError(
@@ -384,7 +392,10 @@ def _fr_fwd(params, coords, omega, tg, smask, t_eff, cfg, scale, deg,
                                cfg, scale, deg, compute_dtype, stash=True)
     # residuals: the masked emission (a fwd output anyway) + the prologue
     # features in compute dtype — the bwd kernel then skips the
-    # warp/posenc remat and the final dense entirely
+    # warp/posenc remat and the final dense entirely. Memory tradeoff:
+    # f_store is feat*nt*N_pad of compute dtype held fwd->bwd (~100 MB
+    # for a dense 64x64x100 grid at nt=6, ~18 MB compact); gradient
+    # paths with BOTH dense sampling and large nt should batch frames
     return out, (params, out, f_store)
 
 

@@ -284,12 +284,17 @@ class VolumeVisualizer:
         return np.clip(rgb, 0.0, 1.0)
 
 
-def _transfer_composite(volume, cam, dirs, ts, dt, extent, levels,
+def _transfer_composite(volume, vmax, cam, dirs, ts, dt, extent, levels,
                         opacities):
     """Alpha-composite a volume with an ipyvolume-style piecewise-linear
-    transfer function: per-sample opacity = interp(em / max, level,
-    opacity). Returns (intensity, alpha) images."""
+    transfer function: per-sample opacity = interp(em / vmax, level,
+    opacity). vmax is supplied by the caller so a movie normalizes all
+    frames against one global maximum. Returns (intensity, alpha)."""
     from jax.scipy.ndimage import map_coordinates
+
+    # scale per-sample opacity with the step length (reference look:
+    # 128 samples across the box) so the render is resolution-free
+    ref_step = 2 * extent / 128.0
 
     @jax.jit
     def composite(volume):
@@ -299,10 +304,9 @@ def _transfer_composite(volume, cam, dirs, ts, dt, extent, levels,
         idx = (pts + extent) / (2 * extent) * (npix_grid - 1)
         em = map_coordinates(volume, [idx[..., 0], idx[..., 1],
                                       idx[..., 2]], order=1, cval=0.0)
-        em_n = em / jnp.maximum(jnp.max(volume), 1e-12)
+        em_n = em / max(float(vmax), 1e-12)
         alpha = jnp.clip(jnp.interp(em_n, levels, opacities), 0.0, 1.0)
-        # scale opacity with step length so the look is resolution-free
-        alpha = 1.0 - (1.0 - alpha) ** (dt * ts.shape[0] / (2 * extent))
+        alpha = 1.0 - (1.0 - alpha) ** (dt / ref_step)
         trans = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
         trans = jnp.concatenate(
             [jnp.ones_like(trans[..., :1]), trans[..., :-1]], axis=-1)
@@ -347,23 +351,31 @@ def ipyvolume_3d(volume, fov, azimuth=0, elevation=-60, distance=2.5,
     levels = jnp.asarray(level, jnp.float32)
     opacities = jnp.asarray(opacity, jnp.float32)
     cm = plt.get_cmap(cmap)
+    # one global maximum for the whole input (movie frames must share a
+    # normalization or a decaying hotspot renders as constant brightness)
+    vmax = float(volume.max())
 
-    def rgb_frame(vol):
-        img, a = _transfer_composite(vol, cam, dirs, ts, dt, extent,
+    def composite_frame(vol):
+        img, a = _transfer_composite(vol, vmax, cam, dirs, ts, dt, extent,
                                      levels, opacities)
-        img, a = np.asarray(img), np.clip(np.asarray(a), 0.0, 1.0)
-        rgb = cm(img / max(img.max(), 1e-12))[..., :3]
+        return np.asarray(img), np.clip(np.asarray(a), 0.0, 1.0)
+
+    def to_rgb(img, a, img_max):
+        rgb = cm(img / max(img_max, 1e-12))[..., :3]
         return rgb * a[..., None]  # fade to black background
 
     if volume.ndim == 3:
         fig, ax = plt.subplots()
-        rgb = rgb_frame(volume)
+        img, a = composite_frame(volume)
+        rgb = to_rgb(img, a, img.max())
         ax.imshow(rgb, origin='lower')
         ax.set_axis_off()
         return fig, rgb
 
     from matplotlib import animation
-    frames = [rgb_frame(v) for v in volume]
+    composited = [composite_frame(v) for v in volume]
+    img_max = max(img.max() for img, _ in composited)
+    frames = [to_rgb(img, a, img_max) for img, a in composited]
     fig, ax = plt.subplots()
     im = ax.imshow(frames[0], origin='lower')
     ax.set_axis_off()
@@ -389,15 +401,19 @@ def plot_chi2(chi2, true_val=None, ax=None, xlabel=r'$\theta_o$ [deg]',
     """chi^2 vs hypothesis-parameter curve with the ground truth marked.
 
     chi2: pandas Series (index = hypothesis values, e.g. alma.chi2_df
-    output grouped over seeds) or a (values, index) pair of arrays.
+    output grouped over seeds), a (values, index) pair of arrays, or a
+    plain array (plotted against its positions).
     """
     import matplotlib.pyplot as plt
     if ax is None:
         _, ax = plt.subplots()
-    if hasattr(chi2, 'index'):
+    if isinstance(chi2, (tuple, list)):
+        ys, xs = np.asarray(chi2[0], float), np.asarray(chi2[1], float)
+    elif hasattr(chi2, 'index') and not callable(chi2.index):
         xs, ys = np.asarray(chi2.index, float), np.asarray(chi2.values)
     else:
-        ys, xs = np.asarray(chi2[0]), np.asarray(chi2[1])
+        ys = np.asarray(chi2, float)
+        xs = np.arange(ys.shape[0], dtype=float)
     ax.plot(xs, ys, '.-', color=color, label=label)
     if true_val is not None:
         ax.axvline(true_val, color='black', linestyle=':', label='true')
@@ -420,8 +436,13 @@ def animate_chi2_3d(movie, chi2, true_val=None, figsize=(9, 4),
     import matplotlib.pyplot as plt
     from matplotlib import animation
     movie = np.asarray(movie)
-    xs = np.asarray(chi2.index, float) if hasattr(chi2, 'index') \
-        else np.arange(movie.shape[0], dtype=float)
+    if hasattr(chi2, 'index') and not callable(chi2.index):
+        xs = np.asarray(chi2.index, float)
+    else:
+        # index-less chi2: synthesize hypothesis positions and hand
+        # plot_chi2 the (values, index) pair form it expects
+        xs = np.arange(movie.shape[0], dtype=float)
+        chi2 = (np.asarray(chi2, float), xs)
 
     fig, axes = plt.subplots(1, 2, figsize=figsize)
     plot_chi2(chi2, true_val, ax=axes[0], xlabel=xlabel)

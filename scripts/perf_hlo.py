@@ -52,12 +52,6 @@ def main():
     txt = scan_fn.lower(
         state, target, sigma, offset, t_all, jax.random.PRNGKey(0), crt,
         1.0).compile().as_text()
-    # print each named fusion's full definition (first ~40 lines)
-    for name in re.findall(r'(fusion\.\d+|fusion)\b', txt):
-        pass
-    blocks = re.findall(
-        r'^( *%?fused_computation[^\n]*\{(?:[^{}]|\{[^{}]*\})*\})',
-        txt, re.M)
     out = '/tmp/scan_step_hlo.txt'
     with open(out, 'w') as f:
         f.write(txt)

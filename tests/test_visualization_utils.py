@@ -90,7 +90,12 @@ def test_ipyvolume_3d_replacement(tmp_path):
                                           resolution=(24, 24), samples=24)
     assert rgb.shape == (24, 24, 3)
     assert np.isfinite(rgb).all() and rgb.max() > 0.02
-    movie = np.stack([vol, np.roll(vol, 4, axis=0)])
+    # resolution-free opacity: doubling the sample count must not
+    # change the render brightness materially
+    _, rgb2 = visualization.ipyvolume_3d(vol, fov=16.0,
+                                         resolution=(24, 24), samples=48)
+    assert abs(rgb2.mean() - rgb.mean()) < 0.25 * rgb.mean() + 1e-3
+    movie = np.stack([vol, 0.2 * vol])
     anim = visualization.ipyvolume_3d(movie, fov=16.0,
                                       resolution=(16, 16), samples=16)
     assert anim is not None
