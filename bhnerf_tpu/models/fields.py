@@ -71,6 +71,15 @@ def posenc_feature_dim(in_dim, deg):
     return in_dim * (1 + 2 * deg)
 
 
+def learned_t_injection(params, t_injection):
+    """Injection time plus the learnable offset, when trained
+    (NeRFPredictor(learn_injection=True) + make_optimizer(lr_inject=...);
+    the reference's commented-out t_injection param, network.py:235)."""
+    if isinstance(params, dict) and 't_injection' in params:
+        return t_injection + params['t_injection']
+    return t_injection
+
+
 # ---------------------------------------------------------------------------
 # MLP core
 # ---------------------------------------------------------------------------
@@ -134,13 +143,24 @@ class NeRFPredictor:
     # 'bfloat16' engages the MXU's native rate with f32 accumulation.
     # Parameters and the XLA fallback path stay float32 regardless.
     compute_dtype: str = 'float32'
+    # learnable injection-time offset (working form of the reference's
+    # commented-out t_injection param, network.py:235): adds a trained
+    # scalar params['t_injection'] to the configured injection time.
+    # Train with make_optimizer(lr_inject=...). Gradients flow through
+    # the velocity warp, so training routes through the XLA path (the
+    # fused kernel's VJP covers MLP parameters only).
+    learn_injection: bool = False
 
     # -- parameters -------------------------------------------------------
     def init_params(self, seed=1, dtype=jnp.float32):
         key = jax.random.PRNGKey(seed)
         in_dim = posenc_feature_dim(3, self.posenc_deg)
-        return init_mlp_params(key, in_dim, self.net_depth, self.net_width,
-                               self.out_channel, self.do_skip, dtype)
+        params = init_mlp_params(key, in_dim, self.net_depth,
+                                 self.net_width, self.out_channel,
+                                 self.do_skip, dtype)
+        if self.learn_injection:
+            params['t_injection'] = jnp.zeros((), dtype)
+        return params
 
     # -- forward ----------------------------------------------------------
     def emission_at(self, params, warped_coords, valid, coords):
@@ -162,6 +182,7 @@ class NeRFPredictor:
     def __call__(self, params, t_frames, t_units, coords, Omega, t_start_obs,
                  t_geos, t_injection):
         """Reference-signature forward pass (network.py:191-237)."""
+        t_injection = learned_t_injection(params, t_injection)
         warped, valid = emission_lib.velocity_warp_coords(
             coords, Omega, t_frames, t_start_obs, t_geos, t_injection,
             t_units=t_units, return_mask=True)
@@ -172,7 +193,7 @@ class NeRFPredictor:
     # -- persistence ------------------------------------------------------
     _YAML_KEYS = ('scale', 'rmin', 'rmax', 'z_width', 'posenc_deg',
                   'posenc_var', 'net_depth', 'net_width', 'out_channel',
-                  'do_skip', 'compute_dtype')
+                  'do_skip', 'compute_dtype', 'learn_injection')
 
     def save_params(self, directory, filename='NeRF_Predictor_params.yml'):
         directory = Path(directory)
@@ -180,7 +201,8 @@ class NeRFPredictor:
         cfg = {k: getattr(self, k) for k in self._YAML_KEYS}
         cfg = {k: (float(v) if isinstance(v, (int, float, np.floating))
                    and k not in ('posenc_deg', 'net_depth', 'net_width',
-                                 'out_channel', 'do_skip') else v)
+                                 'out_channel', 'do_skip',
+                                 'learn_injection') else v)
                for k, v in cfg.items()}
         with open(directory / filename, 'w') as f:
             yaml.dump(cfg, f)

@@ -323,9 +323,11 @@ def _reduce_to_images(em, crt: CompactRayArgs):
 def predict_emission(params, predictor, t_frames_M, rt: RayTracingArgs):
     """Velocity-warped emission along rays for a batch of frames."""
     from bhnerf_tpu import emission as emission_lib
+    from bhnerf_tpu.models.fields import learned_t_injection
     warped, valid = emission_lib.velocity_warp_coords(
         rt.coords, rt.Omega, t_frames_M, 0.0, rt.t_geos_rel,
-        rt.t_injection, t_units=None, return_mask=True)
+        learned_t_injection(params, rt.t_injection), t_units=None,
+        return_mask=True)
     return predictor.emission_at(params, warped, valid, rt.coords)
 
 
@@ -334,8 +336,14 @@ def _compact_prediction(params, predictor, t_frames_M, crt: CompactRayArgs,
     """Image frames from domain-compacted samples: per-sample emission,
     then a sorted segment-sum over pixel ids."""
     from bhnerf_tpu import emission as emission_lib
+    from bhnerf_tpu.models.fields import learned_t_injection
     n = crt.coords.shape[-1]
     t_shape = jnp.shape(t_frames_M)
+
+    # learnable injection offset needs gradients through the warp: the
+    # fused kernel's VJP is params(MLP)-only, so route through XLA
+    if fused and isinstance(params, dict) and 't_injection' in params:
+        fused = False
 
     if fused:
         # warp + posenc + MLP all inside the Pallas kernel; the sample
@@ -348,7 +356,8 @@ def _compact_prediction(params, predictor, t_frames_M, crt: CompactRayArgs,
     else:
         warped, valid = emission_lib.velocity_warp_coords(
             crt.coords, crt.Omega, t_frames_M, 0.0, crt.t_geos_rel,
-            crt.t_injection, t_units=None, return_mask=True)
+            learned_t_injection(params, crt.t_injection), t_units=None,
+            return_mask=True)
         warped = jnp.broadcast_to(warped, (*t_shape, n, 3))
         valid = jnp.broadcast_to(valid, (*t_shape, n))
         # domain mask is pre-applied by compaction (and re-masks padding
@@ -371,11 +380,13 @@ def image_plane_prediction(params, predictor, t_frames_M,
     if isinstance(rt, CompactRayArgs):
         return _compact_prediction(params, predictor, t_frames_M, rt,
                                    fused=fused)
-    if fused:
+    if fused and not (isinstance(params, dict) and 't_injection' in params):
         from bhnerf_tpu.ops import fused as fused_lib
         emission = fused_lib.predict_emission_fused(
             params, predictor, t_frames_M, rt)
     else:
+        # XLA path (also taken for a learnable injection offset, whose
+        # gradient flows through the warp — outside the fused VJP)
         emission = predict_emission(params, predictor, t_frames_M, rt)
     if jnp.ndim(rt.J) > 0:
         # insert the Stokes axis after any leading frame dims (explicit —

@@ -265,3 +265,73 @@ def test_scan_chunked_training(problem):
     loss1 = total_movie_loss(8, optimizer.state, train_step, rt)
     assert np.isfinite(loss1)
     assert loss1 < loss0 / 2, (loss0, loss1)
+
+
+def test_learnable_injection_offset(problem):
+    """Working form of the reference's commented-out t_injection param
+    (network.py:235): params['t_injection'] is a trained offset added to
+    the configured injection time; gradients flow through the warp."""
+    import dataclasses
+    import jax.numpy as jnp
+    from bhnerf_tpu.train.step import image_plane_prediction
+
+    rt = problem['rt']
+    t_frames_M = rt.frame_times_M(
+        np.asarray(problem['t_frames'].value, np.float32))[:4]
+    pred = NeRFPredictor(scale=FOV / 2, rmax=FOV / 2, z_width=2.0,
+                         net_width=32, net_depth=3, learn_injection=True)
+    params = pred.init_params(seed=0)
+    assert 't_injection' in params
+
+    # forward equivalence: offset in params == offset in rt.t_injection
+    delta = 5.0
+    params_d = dict(params, t_injection=jnp.float32(delta))
+    rt_d = dataclasses.replace(rt, t_injection=rt.t_injection + delta)
+    img_param = np.asarray(image_plane_prediction(
+        params_d, pred, t_frames_M, rt))
+    img_rt = np.asarray(image_plane_prediction(
+        params, pred, t_frames_M, rt_d))
+    np.testing.assert_allclose(img_param, img_rt, atol=1e-6)
+
+    # gradient through the warp: matches finite differences. Boost the
+    # output layer so the emission field has macroscopic structure
+    # (at init em ~ sigmoid(-10) everywhere and the FD signal would
+    # drown in f32 loss noise).
+    out_key = f'dense_{pred.net_depth}'
+    params_s = dict(params)
+    params_s[out_key] = {
+        'kernel': params[out_key]['kernel'] * 300.0,
+        'bias': params[out_key]['bias'] + 10.0,
+    }
+    target = jnp.asarray(problem['movie'][:4], jnp.float32)
+
+    def loss(off, t_M):
+        p = dict(params_s, t_injection=off)
+        img = image_plane_prediction(p, pred, t_M, rt)
+        return jnp.sum((img - target) ** 2)
+
+    t_M = jnp.asarray(t_frames_M, jnp.float32)
+    g = float(jax.grad(loss)(jnp.float32(delta), t_M))
+    assert abs(g) > 1e-3, g
+    # exact identity: theta = (t_frame + t_geos - t_inj)*Omega, so
+    # d/d offset == -sum_frames d/d t_frame (finite differences would
+    # instead pick up the injection-front mask discontinuity)
+    g_t = np.asarray(jax.grad(loss, argnums=1)(jnp.float32(delta), t_M))
+    np.testing.assert_allclose(g, -g_t.sum(), rtol=1e-4)
+
+    # fused request routes through XLA (identical images) for the
+    # learnable path, compact and dense alike
+    from bhnerf_tpu.train.step import compact_raytracing_args
+    crt = compact_raytracing_args(rt, pred)
+    a = np.asarray(image_plane_prediction(params_d, pred, t_frames_M,
+                                          crt, fused=True))
+    b = np.asarray(image_plane_prediction(params_d, pred, t_frames_M,
+                                          crt, fused=False))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+    # YAML round-trip preserves the flag
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        pred.save_params(d)
+        pred2 = NeRFPredictor.from_yml(d)
+    assert pred2.learn_injection is True
