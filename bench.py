@@ -76,8 +76,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from bhnerf_tpu.utils import compilation_cache_dir
     jax.config.update('jax_compilation_cache_dir',
-                      '/tmp/bhnerf_tpu_jax_cache')
+                      compilation_cache_dir())
     jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.3)
 
@@ -99,10 +100,19 @@ def main():
     compute_dtype = os.environ.get('BENCH_COMPUTE_DTYPE', 'bfloat16')
 
     mark(f'backend={jax.default_backend()} tracing geodesics')
-    geos = image_plane_geos(
-        spin=0.2, inclination=np.deg2rad(60.0),
-        alpha_range=(-fov / 2, fov / 2), beta_range=(-fov / 2, fov / 2),
-        ngeo=ngeo, num_alpha=num_alpha, num_beta=num_beta, n_fine=4096)
+    # host-precompute cache: the f64 geodesic trace is ~2 min on this
+    # box's single core and identical across bench runs
+    from bhnerf_tpu.geodesics.dataset import Geodesics
+    cache = (f'/tmp/bhnerf_tpu_geos_bench_{num_alpha}x{num_beta}'
+             f'x{ngeo}_f{fov}.npz')
+    if os.path.exists(cache):
+        geos = Geodesics.load(cache)
+    else:
+        geos = image_plane_geos(
+            spin=0.2, inclination=np.deg2rad(60.0),
+            alpha_range=(-fov / 2, fov / 2), beta_range=(-fov / 2, fov / 2),
+            ngeo=ngeo, num_alpha=num_alpha, num_beta=num_beta, n_fine=4096)
+        geos.save(cache)
     Omega = geos.keplerian_omega()
     t_injection = -float(geos.r_o + fov / 4)
     GM_hr = constants.GM_c3(constants.sgra_mass).to('hr').value

@@ -26,8 +26,9 @@ import numpy as np
 def main(num_iters=1000, small=False):
     import jax
 
+    from bhnerf_tpu.utils import compilation_cache_dir
     jax.config.update('jax_compilation_cache_dir',
-                      '/tmp/bhnerf_tpu_jax_cache')
+                      compilation_cache_dir())
     jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.3)
 
@@ -50,9 +51,15 @@ def main(num_iters=1000, small=False):
     compute_dtype = os.environ.get('BENCH_COMPUTE_DTYPE', 'bfloat16')
 
     mark(f'backend={jax.default_backend()}; tracing geodesics')
-    geos = image_plane_geos(spin, inc, (-fov_M / 2, fov_M / 2),
-                            (-fov_M / 2, fov_M / 2), ngeo=ngeo,
-                            num_alpha=num, num_beta=num)
+    from bhnerf_tpu.geodesics.dataset import Geodesics
+    cache = f'/tmp/bhnerf_tpu_geos_rec_{num}x{num}x{ngeo}_f{fov_M}.npz'
+    if os.path.exists(cache):
+        geos = Geodesics.load(cache)
+    else:
+        geos = image_plane_geos(spin, inc, (-fov_M / 2, fov_M / 2),
+                                (-fov_M / 2, fov_M / 2), ngeo=ngeo,
+                                num_alpha=num, num_beta=num)
+        geos.save(cache)
     Omega = geos.keplerian_omega()
     r_isco = float(constants.isco_pro(spin))
     hotspot = emission.generate_hotspot(

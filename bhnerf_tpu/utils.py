@@ -16,6 +16,29 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def compilation_cache_dir(base='/tmp/bhnerf_tpu_jax_cache'):
+    """Host-keyed persistent-compile-cache path.
+
+    XLA:CPU AOT cache entries embed the compile machine's CPU feature
+    set; loading one on a host with different features fails (observed
+    across driver rounds on this fleet: 'Target machine feature
+    +prefer-no-scatter is not supported'), costing a full recompile
+    plus error spam every process. Keying the directory by the host's
+    CPU flags keeps each host's cache to itself."""
+    import hashlib
+    import platform
+    key = platform.node() or 'host'
+    try:
+        with open('/proc/cpuinfo') as f:
+            for line in f:
+                if line.startswith('flags'):
+                    key = hashlib.md5(line.encode()).hexdigest()[:10]
+                    break
+    except OSError:
+        pass
+    return f'{base}_{key}'
+
+
 def mse(true, est):
     """Mean squared error (reference: utils.py:9)."""
     return float(np.mean((np.asarray(true) - np.asarray(est)) ** 2))

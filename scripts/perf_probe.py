@@ -20,8 +20,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from bhnerf_tpu.utils import compilation_cache_dir
     jax.config.update('jax_compilation_cache_dir',
-                      '/tmp/bhnerf_tpu_jax_cache')
+                      compilation_cache_dir())
     jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.3)
 

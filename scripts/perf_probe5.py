@@ -21,8 +21,9 @@ def main():
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    from bhnerf_tpu.utils import compilation_cache_dir
     jax.config.update('jax_compilation_cache_dir',
-                      '/tmp/bhnerf_tpu_jax_cache')
+                      compilation_cache_dir())
 
     def scan_time(name, body):
         @jax.jit

@@ -25,8 +25,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from bhnerf_tpu.utils import compilation_cache_dir
     jax.config.update('jax_compilation_cache_dir',
-                      '/tmp/bhnerf_tpu_jax_cache')
+                      compilation_cache_dir())
 
     from bhnerf_tpu import constants, units
     from bhnerf_tpu.geodesics import image_plane_geos

@@ -23,6 +23,8 @@ jax.config.update('jax_threefry_partitionable', True)
 
 # persistent compilation cache: the CI box has a single CPU core and
 # single-threaded XLA compiles dominate the suite; cache them across runs
-jax.config.update('jax_compilation_cache_dir', '/tmp/bhnerf_tpu_jax_cache')
+from bhnerf_tpu.utils import compilation_cache_dir
+jax.config.update('jax_compilation_cache_dir',
+                  compilation_cache_dir())
 jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.3)
