@@ -142,6 +142,7 @@ def main():
     batch_args = (target, sigma, offset, t_all, inds)
 
     mark('geodesics done, compiling fused train step')
+    use_fused = True
     try:
         state = TrainState.create(predictor.init_params(seed=0),
                                   make_optimizer(50000))
@@ -153,6 +154,7 @@ def main():
     except Exception as e:  # pragma: no cover - hardware dependent
         mark(f'fused kernel unavailable ({type(e).__name__}: {e}); '
              'XLA-compact fallback')
+        use_fused = False
         compute_dtype = 'float32'
         predictor = dataclasses.replace(predictor, compute_dtype='float32')
         state = TrainState.create(predictor.init_params(seed=0),
@@ -169,8 +171,8 @@ def main():
     from bhnerf_tpu.train.step import make_scan_step
     scan_chunk = int(os.environ.get('BENCH_SCAN_CHUNK', 500))
     scan_fn = make_scan_step(predictor=predictor, kind='image',
-                             dtype='full', fused=True, batchsize=batch,
-                             chunk=scan_chunk)
+                             dtype='full', fused=use_fused,
+                             batchsize=batch, chunk=scan_chunk)
     sstate = TrainState.create(predictor.init_params(seed=0),
                                make_optimizer(50000))
     import jax as _jax

@@ -97,12 +97,19 @@ def main(num_iters=1000, small=False):
     state_warm, _ = scan_fn(state_warm, *train_step.args[0].device_args,
                             jax.random.PRNGKey(0), crt, 1.0)
     jax.block_until_ready(state_warm.params['dense_0']['kernel'])
+    tail = num_iters % chunk
+    if tail:  # ragged tail chunk would otherwise compile inside t0..t1
+        tail_fn = make_scan_step(batchsize=min(6, nt), chunk=tail,
+                                 **train_step.scan_meta)
+        state_warm, _ = tail_fn(state_warm,
+                                *train_step.args[0].device_args,
+                                jax.random.PRNGKey(0), crt, 1.0)
+        jax.block_until_ready(state_warm.params['dense_0']['kernel'])
 
     mark('training')
     t0 = time.perf_counter()
     optimizer.run(batchsize=min(6, nt), train_step=train_step,
-                  raytracing_args=crt, verbose=False,
-                  scan_chunk=int(os.environ.get('BENCH_SCAN_CHUNK', 500)))
+                  raytracing_args=crt, verbose=False, scan_chunk=chunk)
     jax.block_until_ready(optimizer.state.params['dense_0']['kernel'])
     wall_s = time.perf_counter() - t0
 

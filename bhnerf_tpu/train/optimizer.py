@@ -90,12 +90,15 @@ class Optimizer:
         periodic non-finite-loss guard (the reference trains blindly
         through NaNs; checking every step would force a host sync).
 
-        scan_chunk > 0 runs `scan_chunk` steps per dispatch via lax.scan
-        (step.make_scan_step) when the step is scannable (single loss,
-        single sub-pixel-ray variant, no mesh): removes the per-step
-        dispatch round-trip; log_fns/checkpoints then run once per
-        chunk, and frame batches are sampled with jax PRNG (seeded by
-        hparams['seed']).
+        scan_chunk > 0 runs up to `scan_chunk` steps per dispatch via
+        lax.scan (step.make_scan_step) when the step is scannable
+        (single loss, single sub-pixel-ray variant, no mesh): removes
+        the per-step dispatch round-trip. Chunk boundaries align to
+        every save_period / LogFn.log_period multiple, so checkpoints
+        and log callbacks fire at exactly the steps the per-step loop
+        would have. Frame batches are sampled with jax PRNG (seeded by
+        hparams['seed'] folded with the starting step); the non-finite
+        guard checks each chunk's final loss.
         """
         from tqdm.auto import tqdm
         self.init_step = int(np.asarray(jax.device_get(self.state.step))) + 1
@@ -138,13 +141,29 @@ class Optimizer:
         # python float, not np.float64: a weak-typed scalar matches any
         # pre-compiled executable; an f64 scalar forces a fresh compile
         scale = float(train_step.scale[0])
-        key = jax.random.PRNGKey(self.seed)
+        # fold the starting step into the key so a resumed/extended run
+        # draws fresh frame batches instead of replaying the first run's
+        key = jax.random.fold_in(jax.random.PRNGKey(self.seed),
+                                 self.init_step)
         step = self.init_step - 1
+        # chunk boundaries align to every save/log period so modulo-gated
+        # checkpoints and LogFns fire exactly as in the per-step loop
+        # (distinct chunk sizes are few and lru-cached)
+        periods = [self.save_period] + [
+            int(f.log_period) for f in self.log_fns
+            if getattr(f, 'log_period', 0) and f.log_period > 0]
+        periods = [p for p in periods if p > 0]
+
+        def next_boundary(s):
+            bounds = [(s // p + 1) * p for p in periods]
+            return min(bounds) if bounds else self.final_step - 1
+
         pbar = tqdm(total=self.num_iters, desc='iteration') if verbose \
             else None
         try:
             while step < self.final_step - 1:
-                chunk = min(scan_chunk, self.final_step - 1 - step)
+                chunk = min(scan_chunk, self.final_step - 1 - step,
+                            next_boundary(step) - step)
                 scan_fn = step_lib.make_scan_step(
                     batchsize=batchsize, chunk=int(chunk),
                     **train_step.scan_meta)

@@ -484,7 +484,7 @@ def loss_fn_eht(params, predictor, target, sigma, A, t_frames_M, rt,
     return scale * chisq, [images]
 
 
-def tv_loss(params, predictor, fov, resolution=32, t_frame=0.0):
+def tv_loss(params, predictor, fov, resolution=32):
     """Finite-difference total variation of the emission field on a voxel
     grid — one batched forward evaluation, usable inside the training
     loss at production sizes.

@@ -173,6 +173,57 @@ def plot_geodesic_3D(geos, ray_indices=None, ax=None, max_r=None):
 # ---------------------------------------------------------------------------
 # flat-space volume renderer (reference VolumeVisualizer, 491-755)
 # ---------------------------------------------------------------------------
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=('draw_cube', 'has_bh'))
+def _vv_composite(volume, cam, dirs, ts, dt, extent, sigma_scale,
+                  bh_radius, w_edge, cube_alpha, draw_cube, has_bh):
+    """Alpha-composite with optional BH-sphere / cube-wireframe overlays.
+
+    Module-level and jitted once per (shape, overlay-flags) — a per-call
+    closure would retrace on every render (e.g. 24x in the rotating
+    animation example). Scalars are traced args, so camera sweeps reuse
+    the executable."""
+    from jax.scipy.ndimage import map_coordinates
+    pts = cam[None, None, None] + dirs[:, :, None] * ts[None, None, :,
+                                                        None]
+    npix_grid = jnp.asarray(volume.shape)
+    idx = (pts + extent) / (2 * extent) * (npix_grid - 1)
+    em = map_coordinates(volume, [idx[..., 0], idx[..., 1], idx[..., 2]],
+                         order=1, cval=0.0)
+    if has_bh:
+        r = jnp.sqrt(jnp.sum(pts ** 2, axis=-1))
+        opaque = r < bh_radius
+        # Lambert term of the first sphere hit (limb darkening)
+        cosv = jnp.clip(-jnp.sum(pts * dirs[:, :, None], axis=-1)
+                        / jnp.maximum(r, 1e-9), 0.0, 1.0)
+    else:
+        opaque = jnp.zeros_like(em, bool)
+        cosv = jnp.zeros_like(em)
+    alpha = 1.0 - jnp.exp(-sigma_scale * em * dt)
+    alpha = jnp.where(opaque, 1.0, alpha)
+    if draw_cube:
+        # a point lies on a wireframe edge when >= 2 coordinates are
+        # within w_edge of a cube face (and inside the cube)
+        ax3 = jnp.abs(pts)
+        inside = jnp.all(ax3 <= extent + w_edge, axis=-1)
+        n_face = jnp.sum(ax3 >= extent - w_edge, axis=-1)
+        edge = inside & (n_face >= 2)
+        alpha = 1.0 - (1.0 - alpha) * (1.0 - jnp.where(
+            edge, cube_alpha, 0.0))
+    else:
+        edge = jnp.zeros_like(em, bool)
+    trans = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
+    trans = jnp.concatenate(
+        [jnp.ones_like(trans[..., :1]), trans[..., :-1]], axis=-1)
+    weights = alpha * trans
+    return (jnp.sum(weights * em, axis=-1),
+            jnp.sum(weights * opaque, axis=-1),
+            jnp.sum(weights * edge, axis=-1),
+            jnp.sum(weights * opaque * cosv, axis=-1))
+
+
 class VolumeVisualizer:
     """Pinhole-camera renderer for recovered 3D emission volumes.
 
@@ -229,48 +280,10 @@ class VolumeVisualizer:
         dt = (t_far - t_near) / self.samples
         w_edge = cube_width * extent
 
-        @jax.jit
-        def composite(volume, cam, dirs):
-            pts = cam[None, None, None] + dirs[:, :, None] * ts[None, None,
-                                                                :, None]
-            npix_grid = jnp.asarray(volume.shape)
-            idx = (pts + extent) / (2 * extent) * (npix_grid - 1)
-            from jax.scipy.ndimage import map_coordinates
-            em = map_coordinates(volume, [idx[..., 0], idx[..., 1],
-                                          idx[..., 2]], order=1, cval=0.0)
-            if bh_radius is not None:
-                r = jnp.sqrt(jnp.sum(pts ** 2, axis=-1))
-                opaque = r < bh_radius
-                # Lambert term of the first sphere hit (limb darkening)
-                cosv = jnp.clip(-jnp.sum(
-                    pts * dirs[:, :, None], axis=-1)
-                    / jnp.maximum(r, 1e-9), 0.0, 1.0)
-            else:
-                opaque = jnp.zeros_like(em, bool)
-                cosv = jnp.zeros_like(em)
-            alpha = 1.0 - jnp.exp(-sigma_scale * em * dt)
-            alpha = jnp.where(opaque, 1.0, alpha)
-            if draw_cube:
-                # a point lies on a wireframe edge when >= 2 coordinates
-                # are within w_edge of a cube face (and inside the cube)
-                ax3 = jnp.abs(pts)
-                inside = jnp.all(ax3 <= extent + w_edge, axis=-1)
-                n_face = jnp.sum(ax3 >= extent - w_edge, axis=-1)
-                edge = inside & (n_face >= 2)
-                alpha = 1.0 - (1.0 - alpha) * (1.0 - jnp.where(
-                    edge, cube_alpha, 0.0))
-            else:
-                edge = jnp.zeros_like(em, bool)
-            trans = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
-            trans = jnp.concatenate(
-                [jnp.ones_like(trans[..., :1]), trans[..., :-1]], axis=-1)
-            weights = alpha * trans
-            return (jnp.sum(weights * em, axis=-1),
-                    jnp.sum(weights * opaque, axis=-1),
-                    jnp.sum(weights * edge, axis=-1),
-                    jnp.sum(weights * opaque * cosv, axis=-1))
-
-        img, shadow, wire, shade = composite(volume, cam, dirs)
+        img, shadow, wire, shade = _vv_composite(
+            volume, cam, dirs, ts, dt, extent, sigma_scale,
+            0.0 if bh_radius is None else bh_radius, w_edge, cube_alpha,
+            draw_cube=bool(draw_cube), has_bh=bh_radius is not None)
         img = np.asarray(img)
         import matplotlib.pyplot as plt
         cm = plt.get_cmap(cmap)
@@ -284,36 +297,36 @@ class VolumeVisualizer:
         return np.clip(rgb, 0.0, 1.0)
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.jit)
 def _transfer_composite(volume, vmax, cam, dirs, ts, dt, extent, levels,
                         opacities):
     """Alpha-composite a volume with an ipyvolume-style piecewise-linear
     transfer function: per-sample opacity = interp(em / vmax, level,
     opacity). vmax is supplied by the caller so a movie normalizes all
-    frames against one global maximum. Returns (intensity, alpha)."""
+    frames against one global maximum. Module-level jit: movie frames
+    reuse one executable. Returns (intensity, alpha)."""
     from jax.scipy.ndimage import map_coordinates
 
     # scale per-sample opacity with the step length (reference look:
     # 128 samples across the box) so the render is resolution-free
     ref_step = 2 * extent / 128.0
-
-    @jax.jit
-    def composite(volume):
-        pts = cam[None, None, None] + dirs[:, :, None] * ts[None, None, :,
-                                                            None]
-        npix_grid = jnp.asarray(volume.shape)
-        idx = (pts + extent) / (2 * extent) * (npix_grid - 1)
-        em = map_coordinates(volume, [idx[..., 0], idx[..., 1],
-                                      idx[..., 2]], order=1, cval=0.0)
-        em_n = em / max(float(vmax), 1e-12)
-        alpha = jnp.clip(jnp.interp(em_n, levels, opacities), 0.0, 1.0)
-        alpha = 1.0 - (1.0 - alpha) ** (dt / ref_step)
-        trans = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
-        trans = jnp.concatenate(
-            [jnp.ones_like(trans[..., :1]), trans[..., :-1]], axis=-1)
-        weights = alpha * trans
-        return jnp.sum(weights * em_n, axis=-1), jnp.sum(weights, axis=-1)
-
-    return composite(jnp.asarray(volume))
+    pts = cam[None, None, None] + dirs[:, :, None] * ts[None, None, :,
+                                                        None]
+    npix_grid = jnp.asarray(volume.shape)
+    idx = (pts + extent) / (2 * extent) * (npix_grid - 1)
+    em = map_coordinates(volume, [idx[..., 0], idx[..., 1],
+                                  idx[..., 2]], order=1, cval=0.0)
+    em_n = em / jnp.maximum(vmax, 1e-12)
+    alpha = jnp.clip(jnp.interp(em_n, levels, opacities), 0.0, 1.0)
+    alpha = 1.0 - (1.0 - alpha) ** (dt / ref_step)
+    trans = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
+    trans = jnp.concatenate(
+        [jnp.ones_like(trans[..., :1]), trans[..., :-1]], axis=-1)
+    weights = alpha * trans
+    return jnp.sum(weights * em_n, axis=-1), jnp.sum(weights, axis=-1)
 
 
 def ipyvolume_3d(volume, fov, azimuth=0, elevation=-60, distance=2.5,

@@ -111,8 +111,10 @@ def test_kgeo_facade_parity():
 
 def _ring_stokes(**kw):
     import importlib.util
-    spec = importlib.util.spec_from_file_location(
-        'gelles_example', 'examples/gelles2021_polarized_ring.py')
+    import os
+    path = os.path.join(os.path.dirname(__file__), '..', 'examples',
+                        'gelles2021_polarized_ring.py')
+    spec = importlib.util.spec_from_file_location('gelles_example', path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     return mod.ring_stokes(**kw)

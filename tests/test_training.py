@@ -335,3 +335,28 @@ def test_learnable_injection_offset(problem):
         pred.save_params(d)
         pred2 = NeRFPredictor.from_yml(d)
     assert pred2.learn_injection is True
+
+
+def test_scan_log_and_checkpoint_cadence(tmp_path, problem):
+    """Scan-chunked training must fire LogFns and checkpoints at exactly
+    the per-step loop's steps: chunk boundaries align to every period."""
+    from bhnerf_tpu.train import LogFn
+
+    predictor = NeRFPredictor(scale=FOV / 2, rmax=FOV / 2, z_width=2.0,
+                              net_width=16, net_depth=2)
+    ts = TrainStep.image(problem['t_frames'],
+                         problem['movie'].sum(axis=(-1, -2)), predictor,
+                         dtype='lc')
+    seen = []
+    log = LogFn(lambda o: seen.append(int(o.step)), log_period=30)
+    opt = Optimizer({'num_iters': 100, 'lr_init': 1e-3}, predictor,
+                    problem['rt'], checkpoint_dir=str(tmp_path),
+                    save_period=64)
+    opt.run(batchsize=4, train_step=ts, raytracing_args=problem['rt'],
+            log_fns=[log], verbose=False, scan_chunk=45)
+    assert {30, 60, 90} <= set(seen), seen
+    # checkpoint landed at the save_period multiple (step 64), not just
+    # at the end
+    steps = sorted(int(p.name.split('_')[-1]) for p in tmp_path.iterdir()
+                   if p.name.startswith('checkpoint_'))
+    assert 64 in steps, steps
