@@ -157,6 +157,70 @@ class Observation:
         return np.argmin(np.abs(self.times[:, None]
                                 - t_frames_hr[None, :]), axis=1)
 
+    @classmethod
+    def from_uvdata(cls, time, t1, t2, u, v, sigma, vis=None, qvis=None,
+                    uvis=None, vvis=None, ra=SGRA_RA, dec=SGRA_DEC,
+                    rf=SGRA_RF, mjd=57850, bw=1856000000.0, tint=60.0):
+        """Build an Observation from flat per-visibility records.
+
+        Migration path for reference users holding real `ehtim.Obsdata`
+        objects (the reference's TrainStep.eht consumes them directly —
+        optimization.py:219-268; ehtim is not a dependency here): pass
+        the columns of ``obs.data`` verbatim, e.g. ::
+
+            Observation.from_uvdata(
+                time=obs.data['time'], t1=obs.data['t1'],
+                t2=obs.data['t2'], u=obs.data['u'], v=obs.data['v'],
+                sigma=obs.data['sigma'], vis=obs.data['vis'],
+                qvis=obs.data['qvis'], uvis=obs.data['uvis'],
+                ra=obs.ra, dec=obs.dec, rf=obs.rf, mjd=obs.mjd)
+
+        t1/t2 may be station-name strings or integer indices. Station
+        positions/SEFDs are not recoverable from uv records; the
+        embedded ArrayConfig is a name-only stub, which every
+        measurement-operator path (chisqdata vis/amp/cphase, closure
+        triangles, padded_obs) works from — only fresh `observe_same`
+        synthesis needs a real station table.
+        """
+        time = np.asarray(time, np.float64)
+        t1 = np.asarray(t1)
+        t2 = np.asarray(t2)
+        names = sorted({str(s) for s in t1} | {str(s) for s in t2})
+        s_idx = {n: i for i, n in enumerate(names)}
+        i1 = np.array([s_idx[str(s)] for s in t1])
+        i2 = np.array([s_idx[str(s)] for s in t2])
+        lo, hi = np.minimum(i1, i2), np.maximum(i1, i2)
+
+        times = np.unique(time)
+        pairs = sorted({(int(a), int(b)) for a, b in zip(lo, hi)})
+        baselines = np.asarray(pairs, int)
+        b_idx = {p: i for i, p in enumerate(pairs)}
+        scan_of = np.searchsorted(times, time)
+        bl_of = np.array([b_idx[(int(a), int(b))]
+                          for a, b in zip(lo, hi)])
+
+        nscan, nbl = len(times), len(baselines)
+        U = np.zeros((nscan, nbl))
+        V = np.zeros((nscan, nbl))
+        SG = np.full((nscan, nbl), np.inf)
+        M = np.zeros((nscan, nbl), bool)
+        U[scan_of, bl_of] = np.asarray(u, np.float64)
+        V[scan_of, bl_of] = np.asarray(v, np.float64)
+        SG[scan_of, bl_of] = np.asarray(sigma, np.float64)
+        M[scan_of, bl_of] = True
+
+        pols = [p for p in (vis, qvis, uvis, vvis) if p is not None]
+        VIS = None
+        if pols:
+            VIS = np.zeros((nscan, nbl, len(pols)), complex)
+            for k, p in enumerate(pols):
+                VIS[scan_of, bl_of, k] = np.asarray(p, complex)
+        array = ArrayConfig(names, np.zeros((len(names), 3)),
+                            np.zeros(len(names)))
+        return cls(array=array, times=times, baselines=baselines, u=U,
+                   v=V, mask=M, sigma=SG, ra=ra, dec=dec, rf=rf,
+                   mjd=int(mjd), bw=bw, tint=tint, vis=VIS)
+
     # ---- measurement operators -------------------------------------------
     def chisqdata(self, t_frames, dtype, image_fov, image_size, pol='I',
                   debias=True):

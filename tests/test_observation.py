@@ -298,3 +298,45 @@ def test_amp_debias_low_snr(obs_empty):
         amp_deb[finite],
         np.sqrt(np.clip(amp_raw[finite] ** 2 - sigma[finite] ** 2, 0,
                         None)), rtol=1e-10)
+
+
+def test_from_uvdata_roundtrip():
+    """Observation.from_uvdata (ehtim.Obsdata.data migration adapter)
+    rebuilds an equivalent observation from flat per-visibility records:
+    chisqdata operators must match the original's."""
+    from bhnerf_tpu import observation as obs_lib
+
+    array = obs_lib.load_txt('eht_arrays/EHT2017.txt')
+    obs0 = obs_lib.empty_eht_obs(array, nt=4, tint=60.0, tstart=4.0,
+                                 tstop=8.0)
+    rng = np.random.default_rng(0)
+    movie = rng.random((4, 3, 16, 16))
+    obs = obs_lib.stokes_array_to_ehtim(movie, obs0.times, 1e-10) \
+        .observe_same(obs0, thermal_noise=False)
+
+    # flatten exactly like ehtim's obs.data columns
+    recs = obs.tlist()
+    flat = {k: np.concatenate([r[k] for r in recs])
+            for k in ('time', 'u', 'v', 'sigma', 't1', 't2', 'vis',
+                      'qvis', 'uvis')}
+    obs2 = obs_lib.Observation.from_uvdata(
+        time=flat['time'], t1=flat['t1'], t2=flat['t2'], u=flat['u'],
+        v=flat['v'], sigma=flat['sigma'], vis=flat['vis'],
+        qvis=flat['qvis'], uvis=flat['uvis'], ra=obs.ra, dec=obs.dec,
+        rf=obs.rf, mjd=obs.mjd)
+
+    t_frames = obs.times
+    for dtype in ('vis', 'amp', 'cphase'):
+        a = obs.chisqdata(t_frames, dtype, image_fov_rad(), 16, pol='I')
+        b = obs2.chisqdata(t_frames, dtype, image_fov_rad(), 16, pol='I')
+        for x, y, name in zip(a, b, ('target', 'sigma', 'A')):
+            x, y = np.asarray(x), np.asarray(y)
+            assert x.shape == y.shape, (dtype, name, x.shape, y.shape)
+            np.testing.assert_allclose(
+                np.nan_to_num(x, posinf=0), np.nan_to_num(y, posinf=0),
+                atol=1e-8, err_msg=f'{dtype}/{name}')
+
+
+def image_fov_rad():
+    import numpy as _np
+    return 160.0 * _np.pi / 180.0 / 3600.0 / 1e6  # 160 uas
