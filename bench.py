@@ -175,17 +175,16 @@ def main():
                              batchsize=batch, chunk=scan_chunk)
     sstate = TrainState.create(predictor.init_params(seed=0),
                                make_optimizer(50000))
-    import jax as _jax
-    key = _jax.random.PRNGKey(0)
-    sstate, losses = scan_fn(sstate, target, sigma, offset, t_all, key,
-                             crt, 1.0)
-    _jax.block_until_ready(losses)
+    sstate, losses = scan_fn(sstate, target, sigma, offset, t_all,
+                             jax.random.PRNGKey(0), crt, 1.0)
+    jax.block_until_ready(losses)
+    n_chunks = max(1000 // scan_chunk, 1)
     t0 = time.perf_counter()
-    for i in range(max(1000 // scan_chunk, 1)):
+    for i in range(n_chunks):
         sstate, losses = scan_fn(sstate, target, sigma, offset, t_all,
-                                 _jax.random.PRNGKey(i), crt, 1.0)
-    _jax.block_until_ready(losses)
-    scan_steps_per_sec = (max(1000 // scan_chunk, 1) * scan_chunk
+                                 jax.random.PRNGKey(i), crt, 1.0)
+    jax.block_until_ready(losses)
+    scan_steps_per_sec = (n_chunks * scan_chunk
                           / (time.perf_counter() - t0))
 
     # measured baseline: dense pure-XLA path, reference semantics (every

@@ -149,9 +149,10 @@ class Optimizer:
         # chunk boundaries align to every save/log period so modulo-gated
         # checkpoints and LogFns fire exactly as in the per-step loop
         # (distinct chunk sizes are few and lru-cached)
-        periods = [self.save_period] + [
-            int(f.log_period) for f in self.log_fns
-            if getattr(f, 'log_period', 0) and f.log_period > 0]
+        periods = [int(f.log_period) for f in self.log_fns
+                   if getattr(f, 'log_period', 0) and f.log_period > 0]
+        if self.checkpoint_dir:  # save gate is moot without a directory
+            periods.append(self.save_period)
         periods = [p for p in periods if p > 0]
 
         def next_boundary(s):

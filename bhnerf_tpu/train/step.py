@@ -27,7 +27,15 @@ import numpy as np
 
 from bhnerf_tpu import constants as consts
 from bhnerf_tpu import units, utils
+from bhnerf_tpu.models.fields import learned_t_injection
 from bhnerf_tpu.ops import gr
+
+
+def _wants_warp_grad(params):
+    """True when params carry the learnable injection offset, whose
+    gradient flows through the velocity warp — outside the fused
+    kernel's MLP-params-only VJP, so such requests route through XLA."""
+    return isinstance(params, dict) and 't_injection' in params
 
 
 @jax.tree_util.register_pytree_node_class
@@ -323,7 +331,6 @@ def _reduce_to_images(em, crt: CompactRayArgs):
 def predict_emission(params, predictor, t_frames_M, rt: RayTracingArgs):
     """Velocity-warped emission along rays for a batch of frames."""
     from bhnerf_tpu import emission as emission_lib
-    from bhnerf_tpu.models.fields import learned_t_injection
     warped, valid = emission_lib.velocity_warp_coords(
         rt.coords, rt.Omega, t_frames_M, 0.0, rt.t_geos_rel,
         learned_t_injection(params, rt.t_injection), t_units=None,
@@ -336,14 +343,10 @@ def _compact_prediction(params, predictor, t_frames_M, crt: CompactRayArgs,
     """Image frames from domain-compacted samples: per-sample emission,
     then a sorted segment-sum over pixel ids."""
     from bhnerf_tpu import emission as emission_lib
-    from bhnerf_tpu.models.fields import learned_t_injection
     n = crt.coords.shape[-1]
     t_shape = jnp.shape(t_frames_M)
 
-    # learnable injection offset needs gradients through the warp: the
-    # fused kernel's VJP is params(MLP)-only, so route through XLA
-    if fused and isinstance(params, dict) and 't_injection' in params:
-        fused = False
+    fused = fused and not _wants_warp_grad(params)
 
     if fused:
         # warp + posenc + MLP all inside the Pallas kernel; the sample
@@ -380,7 +383,7 @@ def image_plane_prediction(params, predictor, t_frames_M,
     if isinstance(rt, CompactRayArgs):
         return _compact_prediction(params, predictor, t_frames_M, rt,
                                    fused=fused)
-    if fused and not (isinstance(params, dict) and 't_injection' in params):
+    if fused and not _wants_warp_grad(params):
         from bhnerf_tpu.ops import fused as fused_lib
         emission = fused_lib.predict_emission_fused(
             params, predictor, t_frames_M, rt)

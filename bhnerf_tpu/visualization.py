@@ -7,6 +7,8 @@ jit-compiled flat-space `VolumeVisualizer` cover the paper-figure paths.
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -173,9 +175,6 @@ def plot_geodesic_3D(geos, ray_indices=None, ax=None, max_r=None):
 # ---------------------------------------------------------------------------
 # flat-space volume renderer (reference VolumeVisualizer, 491-755)
 # ---------------------------------------------------------------------------
-import functools
-
-
 @functools.partial(jax.jit, static_argnames=('draw_cube', 'has_bh'))
 def _vv_composite(volume, cam, dirs, ts, dt, extent, sigma_scale,
                   bh_radius, w_edge, cube_alpha, draw_cube, has_bh):
@@ -297,10 +296,7 @@ class VolumeVisualizer:
         return np.clip(rgb, 0.0, 1.0)
 
 
-import functools as _functools
-
-
-@_functools.partial(jax.jit)
+@jax.jit
 def _transfer_composite(volume, vmax, cam, dirs, ts, dt, extent, levels,
                         opacities):
     """Alpha-composite a volume with an ipyvolume-style piecewise-linear
