@@ -92,8 +92,9 @@ class Optimizer:
 
         scan_chunk > 0 runs up to `scan_chunk` steps per dispatch via
         lax.scan (step.make_scan_step) when the step is scannable
-        (single loss, single sub-pixel-ray variant, no mesh): removes
-        the per-step dispatch round-trip. Chunk boundaries align to
+        (single loss, single sub-pixel-ray variant; mesh or not —
+        the jitted scan propagates input shardings): removes the
+        per-step dispatch round-trip. Chunk boundaries align to
         every save_period / LogFn.log_period multiple, so checkpoints
         and log callbacks fire at exactly the steps the per-step loop
         would have. Frame batches are sampled with jax PRNG (seeded by
@@ -271,7 +272,10 @@ class TrainStep:
             predictor, kind='image', dtype=dtype, fused=fused,
             gather=mesh is None, tv_scale=tv_scale, tv_fov=tv_fov,
             tv_resolution=tv_resolution)
-        meta = None if mesh is not None else dict(
+        # scan-chunked training is mesh-agnostic (the jitted scan
+        # propagates input shardings), so meta is set with or without a
+        # mesh; only composed multi-loss steps fall back (scan_meta=None)
+        meta = dict(
             predictor=predictor, kind='image', dtype=dtype, fused=fused,
             tv_scale=tv_scale, tv_fov=tv_fov, tv_resolution=tv_resolution)
         return cls(dtype, args, grad_fn, test_fn, scale, scan_meta=meta)
@@ -298,7 +302,7 @@ class TrainStep:
         grad_fn, test_fn = step_lib.make_step_fns(predictor, kind='eht',
                                                   dtype=dtype, fused=fused,
                                                   gather=mesh is None)
-        meta = None if mesh is not None else dict(
+        meta = dict(
             predictor=predictor, kind='eht', dtype=dtype, fused=fused)
         return cls(dtype, args, grad_fn, test_fn, scale, scan_meta=meta)
 
@@ -329,11 +333,23 @@ class TemporalBatchedArgs:
         Used by the gather-in-jit step path: the per-step batch selection
         happens inside the jitted step, so one step = ONE dispatch with
         no per-step H2D upload (the TPU sits behind a network tunnel;
-        per-step transfers dominated the fused-kernel step time)."""
+        per-step transfers dominated the fused-kernel step time).
+
+        Under a mesh the frame tensors are placed sharded over the
+        'data' axis (frame times replicated), so the scan-chunked path
+        runs multi-chip with one dispatch per chunk as well."""
         if self._device_args is None:
             import jax.numpy as jnp
-            self._device_args = [jnp.asarray(np.asarray(a, np.float32))
-                                 for a in self.args]
+            arrays = [jnp.asarray(np.asarray(a, np.float32))
+                      for a in self.args]
+            if self.mesh is not None:
+                import jax
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                ndata = self.mesh.shape.get('data', 1)
+                spec = P('data') if self.num_frames % ndata == 0 else P()
+                sh = NamedSharding(self.mesh, spec)
+                arrays = [jax.device_put(a, sh) for a in arrays]
+            self._device_args = arrays
         return self._device_args
 
     def sample(self, batchsize, replace=False):

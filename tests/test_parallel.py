@@ -77,3 +77,63 @@ def test_compact_sample_sharding_matches(setup):
                              static_argnums=(1,))(params, predictor,
                                                   t_frames_M, crt_sharded))
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=1e-7)
+
+
+def test_scan_chunked_training_under_mesh():
+    """The scan-chunked (one-dispatch-per-chunk) path is mesh-agnostic:
+    with frame tensors sharded over 'data', the scanned losses match the
+    unsharded scan run (same PRNG chain)."""
+    import jax
+    import jax.numpy as jnp
+    from bhnerf_tpu import constants, emission, units
+    from bhnerf_tpu.geodesics import image_plane_geos
+    from bhnerf_tpu.models import NeRFPredictor
+    from bhnerf_tpu.parallel import create_mesh
+    from bhnerf_tpu.train import Optimizer, TrainStep, raytracing_args
+
+    fov = 16.0
+    geos = image_plane_geos(spin=0.0, inclination=np.deg2rad(60),
+                            alpha_range=(-fov / 2, fov / 2),
+                            beta_range=(-fov / 2, fov / 2),
+                            ngeo=24, num_alpha=12, num_beta=12,
+                            n_fine=1024)
+    Omega = float(1 / 6.5 ** 1.5)
+    hs = emission.generate_hotspot(
+        resolution=(24, 24, 24), rot_axis=[0, 0, 1], rot_angle=0.0,
+        orbit_radius=6.0, std=0.7,
+        r_isco=float(constants.isco_pro(0.0)), fov=fov)
+    GM_hr = constants.GM_c3(constants.sgra_mass).to('hr').value
+    t_frames = units.Quantity(
+        np.linspace(0, 200 * GM_hr, 16).astype(np.float32), 'hr')
+    t_inj = -float(geos.r_o + fov / 4)
+    movie = np.asarray(emission.image_plane_dynamics(
+        hs, geos, Omega, t_frames, t_injection=t_inj))
+    rt = raytracing_args(geos, Omega, t_inj, t_frames[0])
+    pred = NeRFPredictor(scale=fov / 2, rmax=fov / 2, z_width=2.0,
+                         net_width=16, net_depth=2)
+
+    def run(mesh):
+        ts = TrainStep.image(t_frames, movie, pred, dtype='full',
+                             mesh=mesh)
+        assert ts.scan_meta is not None
+        losses = []
+
+        class Snoop:
+            # a log_period of 1 would (correctly) force per-step chunks;
+            # 20 lets the scan run whole chunks between log firings
+            log_period = 20
+
+            def __call__(self, o):
+                losses.append(float(np.asarray(o.loss)))
+
+        opt = Optimizer({'num_iters': 60, 'lr_init': 1e-3, 'seed': 7},
+                        pred, rt, checkpoint_dir='')
+        opt.run(batchsize=8, train_step=ts, raytracing_args=rt,
+                log_fns=[Snoop()], verbose=False, scan_chunk=20)
+        return np.asarray(losses)
+
+    mesh = create_mesh((8, 1))
+    l_mesh = run(mesh)
+    l_plain = run(None)
+    assert l_mesh.size == l_plain.size == 3
+    np.testing.assert_allclose(l_mesh, l_plain, rtol=2e-3)
