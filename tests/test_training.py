@@ -360,3 +360,27 @@ def test_scan_log_and_checkpoint_cadence(tmp_path, problem):
     steps = sorted(int(p.name.split('_')[-1]) for p in tmp_path.iterdir()
                    if p.name.startswith('checkpoint_'))
     assert 64 in steps, steps
+
+
+def test_scan_resume_from_checkpoint(tmp_path, problem):
+    """Checkpoint-restored training continues under the scan path: the
+    step counter resumes and the extended run draws a fresh batch
+    sequence (PRNG key folds in the starting step)."""
+    predictor = NeRFPredictor(scale=FOV / 2, rmax=FOV / 2, z_width=2.0,
+                              net_width=16, net_depth=2)
+    ts = TrainStep.image(problem['t_frames'],
+                         problem['movie'].sum(axis=(-1, -2)), predictor,
+                         dtype='lc')
+    opt = Optimizer({'num_iters': 40, 'lr_init': 1e-3}, predictor,
+                    problem['rt'], checkpoint_dir=str(tmp_path))
+    opt.run(batchsize=4, train_step=ts, raytracing_args=problem['rt'],
+            verbose=False, scan_chunk=25)
+    assert int(np.asarray(opt.state.step)) == 40
+
+    opt2 = Optimizer({'num_iters': 20, 'lr_init': 1e-3}, predictor,
+                     problem['rt'], checkpoint_dir=str(tmp_path))
+    assert int(np.asarray(opt2.state.step)) == 40  # restored
+    opt2.run(batchsize=4, train_step=ts, raytracing_args=problem['rt'],
+             verbose=False, scan_chunk=25)
+    assert int(np.asarray(opt2.state.step)) == 60
+    assert np.isfinite(np.asarray(opt2.loss))
