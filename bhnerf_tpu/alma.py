@@ -149,10 +149,12 @@ def chi2_df(inclinations, spins, seeds, params, checkpoint_fmt, t, data,
     spins = np.atleast_1d(spins)
     if len(inclinations) == 1 and len(spins) > 1:
         indices, index_name = spins, 'spin'
-        inclinations = np.full_like(spins, inclinations[0])
+        # np.full (not full_like): full_like inherits the grid dtype and
+        # truncates a fractional scalar against an integer grid
+        inclinations = np.full(len(spins), float(inclinations[0]))
     elif len(inclinations) >= 1 and len(spins) == 1:
         indices, index_name = inclinations, 'inc'
-        spins = np.full_like(inclinations, spins[0])
+        spins = np.full(len(inclinations), float(spins[0]))
     else:
         raise ValueError('only 1D grids (inc or spin) are supported')
 
@@ -173,6 +175,6 @@ def chi2_df(inclinations, spins, seeds, params, checkpoint_fmt, t, data,
                     rt_args, checkpoint_dir, t, data, sigma)
 
     df = pd.DataFrame(data_fit, index=indices,
-                      columns=[f'seed {s}' for s in range(len(seeds))])
+                      columns=[f'seed {s}' for s in seeds])
     df.index.name = index_name
     return df

@@ -190,6 +190,18 @@ class Observation:
         i1 = np.array([s_idx[str(s)] for s in t1])
         i2 = np.array([s_idx[str(s)] for s in t2])
         lo, hi = np.minimum(i1, i2), np.maximum(i1, i2)
+        # canonicalizing a record to (lo, hi) station order flips its
+        # baseline: V(j,i) = conj(V(i,j)) at (-u, -v). Without this,
+        # closure triangles built from mixed-orientation input no longer
+        # close and cphase targets are silently corrupted.
+        flip = i1 > i2
+        sign = np.where(flip, -1.0, 1.0)
+        u = np.asarray(u, np.float64) * sign
+        v = np.asarray(v, np.float64) * sign
+
+        def orient(p):
+            p = np.asarray(p, complex)
+            return np.where(flip, np.conj(p), p)
 
         times = np.unique(time)
         pairs = sorted({(int(a), int(b)) for a, b in zip(lo, hi)})
@@ -209,17 +221,22 @@ class Observation:
         SG[scan_of, bl_of] = np.asarray(sigma, np.float64)
         M[scan_of, bl_of] = True
 
-        pols = [p for p in (vis, qvis, uvis, vvis) if p is not None]
-        VIS = None
-        if pols:
-            VIS = np.zeros((nscan, nbl, len(pols)), complex)
-            for k, p in enumerate(pols):
-                VIS[scan_of, bl_of, k] = np.asarray(p, complex)
+        provided = [(name, p) for name, p in
+                    zip('IQUV', (vis, qvis, uvis, vvis)) if p is not None]
+        VIS, pol_names = None, ('I', 'Q', 'U', 'V')
+        if provided:
+            # pol_names tracks exactly the provided components, so a
+            # non-contiguous set (e.g. I+V) keeps its identity
+            pol_names = tuple(name for name, _ in provided)
+            VIS = np.zeros((nscan, nbl, len(provided)), complex)
+            for k, (_, p) in enumerate(provided):
+                VIS[scan_of, bl_of, k] = orient(p)
         array = ArrayConfig(names, np.zeros((len(names), 3)),
                             np.zeros(len(names)))
         return cls(array=array, times=times, baselines=baselines, u=U,
                    v=V, mask=M, sigma=SG, ra=ra, dec=dec, rf=rf,
-                   mjd=int(mjd), bw=bw, tint=tint, vis=VIS)
+                   mjd=int(mjd), bw=bw, tint=tint, vis=VIS,
+                   pol_names=pol_names)
 
     # ---- measurement operators -------------------------------------------
     def chisqdata(self, t_frames, dtype, image_fov, image_size, pol='I',
@@ -366,18 +383,24 @@ def amp_debias(amp, sigma):
     return np.sqrt(np.clip(amp**2 - s2, 0.0, None))
 
 
-def dft_matrix(u, v, image_fov, image_size):
-    """Dense DTFT matrix A (nvis, npix^2): A @ vec(image) = visibilities.
+def dft_matrix(u, v, image_fov, image_size, image_fov_y=None,
+               image_size_y=None):
+    """Dense DTFT matrix A (nvis, ny*nx): A @ vec(image) = visibilities.
 
     Pixel grid matches ehtim's make_square convention: coordinates in
     radians, centered, x increasing toward east (negative RA direction).
+    The y axis defaults to the x configuration (square image); pass
+    image_fov_y/image_size_y for rectangular movies.
     """
-    pdim = image_fov / image_size
-    k = np.arange(image_size)
-    # ehtim ftmatrix pixel coordinates
-    coord = pdim * (k - image_size // 2 + 0.5 * ((image_size + 1) % 2))
-    x = -coord  # RA increases eastward (left)
-    y = -coord
+    def centered(fov, npix):
+        pdim = fov / npix
+        k = np.arange(npix)
+        # ehtim ftmatrix pixel coordinates
+        return pdim * (k - npix // 2 + 0.5 * ((npix + 1) % 2))
+
+    x = -centered(image_fov, image_size)   # RA increases eastward (left)
+    y = -centered(image_fov if image_fov_y is None else image_fov_y,
+                  image_size if image_size_y is None else image_size_y)
     X, Y = np.meshgrid(x, y, indexing='xy')
     xv, yv = X.ravel(), Y.ravel()
     return np.exp(-2j * np.pi * (np.outer(u, xv) + np.outer(v, yv)))
@@ -389,7 +412,10 @@ def empty_eht_obs(array, nt, tint, tstart=4.0, tstop=15.5, ra=SGRA_RA,
                   polrep='stokes'):
     """Synthesize uv coverage from a station array + scan cadence
     (reference observation.py:79-119)."""
-    del timetype, polrep
+    if timetype != 'UTC' or polrep != 'stokes':
+        raise NotImplementedError(
+            f'only UTC/stokes observations are supported '
+            f'(got timetype={timetype!r}, polrep={polrep!r})')
     times = np.linspace(tstart, tstop, nt, endpoint=False)
     times = times + 0.5 * (tstop - tstart) / nt
 
@@ -562,16 +588,15 @@ def observe_same(movie, times_hr, psize, obs, thermal_noise=True,
     rng = np.random.default_rng(None if seed is False else seed)
 
     # scan -> nearest frame (ehtim movie sampling)
-    frame_of_scan = np.argmin(np.abs(np.asarray(times_hr)[None, :]
-                                     - obs.times[:, None]), axis=1)
+    frame_of_scan = obs.scan_frame_assignment(times_hr)
 
-    fov = psize * nx
     vis = np.zeros((obs.nscan, obs.nbl, nstokes), complex)
     for s in range(obs.nscan):
         val = obs.mask[s]
         if not val.any():
             continue
-        A = dft_matrix(obs.u[s, val], obs.v[s, val], fov, nx)
+        A = dft_matrix(obs.u[s, val], obs.v[s, val], psize * nx, nx,
+                       image_fov_y=psize * ny, image_size_y=ny)
         frame = movie[frame_of_scan[s]].reshape(nstokes, -1)
         vis[s, val] = (A @ frame.T)
 

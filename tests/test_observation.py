@@ -319,11 +319,20 @@ def test_from_uvdata_roundtrip():
     flat = {k: np.concatenate([r[k] for r in recs])
             for k in ('time', 'u', 'v', 'sigma', 't1', 't2', 'vis',
                       'qvis', 'uvis')}
+    # flip the orientation of every other record (t1<->t2, conj(V),
+    # (-u,-v)) — an equivalent representation real datasets mix freely;
+    # from_uvdata must re-canonicalize it (closure phases would silently
+    # break otherwise)
+    flip = np.arange(flat['time'].size) % 2 == 1
+    t1 = np.where(flip, flat['t2'], flat['t1'])
+    t2 = np.where(flip, flat['t1'], flat['t2'])
+    sign = np.where(flip, -1.0, 1.0)
+    conj = lambda a: np.where(flip, np.conj(a), a)
     obs2 = obs_lib.Observation.from_uvdata(
-        time=flat['time'], t1=flat['t1'], t2=flat['t2'], u=flat['u'],
-        v=flat['v'], sigma=flat['sigma'], vis=flat['vis'],
-        qvis=flat['qvis'], uvis=flat['uvis'], ra=obs.ra, dec=obs.dec,
-        rf=obs.rf, mjd=obs.mjd)
+        time=flat['time'], t1=t1, t2=t2, u=flat['u'] * sign,
+        v=flat['v'] * sign, sigma=flat['sigma'], vis=conj(flat['vis']),
+        qvis=conj(flat['qvis']), uvis=conj(flat['uvis']), ra=obs.ra,
+        dec=obs.dec, rf=obs.rf, mjd=obs.mjd)
 
     t_frames = obs.times
     for dtype in ('vis', 'amp', 'cphase'):
@@ -340,3 +349,50 @@ def test_from_uvdata_roundtrip():
 def image_fov_rad():
     import numpy as _np
     return 160.0 * _np.pi / 180.0 / 3600.0 / 1e6  # 160 uas
+
+
+def test_from_uvdata_noncontiguous_pols():
+    """I+V input keeps its polarization identity (pol_names tracks the
+    provided subset instead of mislabeling V as Q)."""
+    from bhnerf_tpu import observation as obs_lib
+    n = 6
+    t1 = np.array(list('ABCDEF'))
+    t2 = np.array(list('GHIJKL'))
+    obs = obs_lib.Observation.from_uvdata(
+        time=np.zeros(n), t1=t1, t2=t2,
+        u=np.arange(1.0, n + 1), v=np.ones(n), sigma=np.ones(n),
+        vis=np.ones(n, complex), vvis=2j * np.ones(n, complex))
+    assert obs.pol_names == ('I', 'V')
+    rec = obs.tlist()[0]
+    np.testing.assert_allclose(rec['vvis'], 2j * np.ones(n))
+    assert 'qvis' not in rec
+
+
+def test_observe_same_nonsquare_movie():
+    """The synthesis DFT handles rectangular movies (ny != nx)."""
+    from bhnerf_tpu import observation as obs_lib
+    array = obs_lib.load_txt('eht_arrays/EHT2017.txt')
+    obs0 = obs_lib.empty_eht_obs(array, nt=2, tint=60.0)
+    movie = np.zeros((2, 1, 8, 16))
+    movie[:, :, 4, 8] = 1.0
+    vis = obs_lib.observe_same(movie, obs0.times, 1e-10, obs0,
+                               thermal_noise=False).vis
+    assert np.isfinite(vis[obs_lib.np.asarray(obs0.mask)]).all()
+
+
+def test_empty_eht_obs_rejects_unsupported_modes():
+    from bhnerf_tpu import observation as obs_lib
+    array = obs_lib.load_txt('eht_arrays/EHT2017.txt')
+    with pytest.raises(NotImplementedError):
+        obs_lib.empty_eht_obs(array, nt=2, tint=60.0, timetype='GMST')
+
+
+def test_chi2_df_labels_and_float_grid():
+    """chi2_df labels columns by actual seed values and does not
+    truncate a fractional scalar against an integer grid."""
+    from bhnerf_tpu import alma
+    df = alma.chi2_df([45, 60], 0.9, seeds=[3, 7], params=None,
+                      checkpoint_fmt='/nonexistent/{}/{}', t=None,
+                      data=None)
+    assert list(df.columns) == ['seed 3', 'seed 7']
+    assert df.index.name == 'inc'
