@@ -93,21 +93,27 @@ class Geodesics:
         return self.r * np.cos(self.theta)
 
     # ---- metric functions (reference kgeo.py:118-171 usage) -------------
+    # computed with numpy here, NOT kerr.py's jnp forms: on np.float64
+    # inputs a jnp call silently dispatches to the default (TPU) backend
+    # in f32, breaking the float64-host precompute contract and paying a
+    # tunnel round-trip per property access (kerr.py's jnp versions serve
+    # the jitted integrator, where they belong)
     @property
     def Sigma(self):
-        return np.asarray(kerr.Sigma(self.r, self.theta, self.spin))
+        return self.r**2 + self.spin**2 * np.cos(self.theta) ** 2
 
     @property
     def Delta(self):
-        return np.asarray(kerr.Delta(self.r, self.spin))
+        return np.asarray(kerr.Delta(self.r, self.spin))  # polynomial
 
     @property
     def Xi(self):
-        return np.asarray(kerr.Xi(self.r, self.theta, self.spin))
+        return ((self.r**2 + self.spin**2) ** 2
+                - self.spin**2 * self.Delta * np.sin(self.theta) ** 2)
 
     @property
     def omega(self):
-        return np.asarray(kerr.omega(self.r, self.theta, self.spin))
+        return 2.0 * self.spin * self.r / self.Xi
 
     # ---- geodesic potentials (reference kgeo.py:112-113) -----------------
     @property
@@ -120,7 +126,9 @@ class Geodesics:
     def Theta(self):
         lam = self.lam[..., None]
         eta = self.eta[..., None]
-        return np.asarray(kerr.Theta_potential(self.theta, self.spin, lam, eta))
+        cos2 = np.cos(self.theta) ** 2
+        sin2 = np.sin(self.theta) ** 2
+        return eta + self.spin**2 * cos2 - lam**2 * cos2 / sin2
 
     @property
     def affine(self):
@@ -156,9 +164,10 @@ class Geodesics:
 
     def keplerian_omega(self, direction=1.0, frac=1.0):
         """Keplerian angular velocity field along the rays
-        (reference alma.py:49, Tutorial2 usage)."""
-        return np.asarray(kerr.keplerian_omega(
-            self.r, self.spin, self.M, direction, frac))
+        (reference alma.py:49, Tutorial2 usage). numpy on host — see
+        the metric-functions note above."""
+        return (direction * frac * np.sqrt(self.M)
+                / (self.r ** 1.5 + self.spin * np.sqrt(self.M)))
 
 
 def image_plane_geos(spin, inclination, alpha_range, beta_range, ngeo=100,
@@ -200,6 +209,15 @@ def trace_geodesics(alpha, beta, spin, inclination, ngeo=100, distance=1000.0,
     import contextlib
     if not 0.0 <= spin < 1.0:
         raise ValueError(f'spin must be in [0, 1), got {spin}')
+    if not (E == 1.0 and M == 1.0):
+        # rays are integrated in G = c = M = E = 1 units (kerr.py
+        # hardcodes Delta = r^2 - 2r + a^2); accepting another M here
+        # while ops/gr honors geos.M would silently mix two spacetimes.
+        # Physical mass scaling enters through constants.GM_c3 time
+        # units instead (train.step.raytracing_args).
+        raise ValueError(
+            f'geodesics are traced in M=E=1 units (got M={M}, E={E}); '
+            f'scale times/lengths via constants.GM_c3 / GM_c2')
     # exactly polar observers hit the phi coordinate singularity; nudge off
     # the axis (physically indistinguishable at 1e-6 rad)
     inclination = float(np.clip(inclination, 1e-6, np.pi - 1e-6))

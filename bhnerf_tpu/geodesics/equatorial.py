@@ -128,6 +128,13 @@ def rho_of_req(spin, inc, req, mbar=0, varphis=None, rho_min=1.0,
         too_small = np.isnan(r_mid) | (r_mid < req)
         lo = np.where(too_small, mid, lo)
         hi = np.where(too_small, hi, mid)
-    # NaN where req is unreachable within [rho_min, rho_max] (silent
-    # garbage near rho_min otherwise)
-    return varphis, np.where(bracketed, 0.5 * (lo + hi), np.nan)
+    rho = 0.5 * (lo + hi)
+    # validate: a bracket can also form at the existence-window edge when
+    # req is outside the reachable crossing-radius range (e.g. req below
+    # every ray's first-crossing radius); the bisection then converges on
+    # the window boundary, not on r == req. NaN out anything whose
+    # re-traced crossing misses req.
+    r_final = crossing_r(rho)
+    good = (bracketed & np.isfinite(r_final)
+            & (np.abs(r_final - req) <= 1e-2 * max(abs(req), 1.0)))
+    return varphis, np.where(good, rho, np.nan)

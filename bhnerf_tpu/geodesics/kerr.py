@@ -88,13 +88,6 @@ def dU_du(u, spin, lam, eta):
     return 4.0 * c2 * u * a_ - k * (2.0 * u - 6.0 * u**2 + 4.0 * spin**2 * u**3)
 
 
-def dTheta_dtheta(theta, spin, lam, eta):
-    """d/dtheta of Theta_potential (drives the smooth 2nd-order polar ODE)."""
-    sin_t = jnp.sin(theta)
-    cos_t = jnp.cos(theta)
-    return -2.0 * spin**2 * cos_t * sin_t + 2.0 * lam**2 * cos_t / sin_t**3
-
-
 # --- polar dynamics in c = cos(theta) --------------------------------------
 # The integrator runs entirely on these trig-free forms: with c = cos(theta),
 # (dc/dtau)^2 = C(c) = eta + (a^2 - eta - lam^2) c^2 - a^2 c^4, the standard

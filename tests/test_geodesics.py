@@ -276,3 +276,40 @@ def test_kerr_photon_shell_radii_a094():
         assert r_mins[0] < r_mins[1] < r_mins[2], (direction, r_mins)
         assert abs(r_mins[0] - r_ph) / r_ph < 0.03, (direction, r_mins,
                                                      r_ph)
+
+
+def test_rho_of_req_unreachable_radius_is_nan():
+    """req outside the reachable crossing-radius window must come back
+    NaN, not the existence-window boundary (the bisection bracket also
+    forms at the window edge)."""
+    from bhnerf_tpu.geodesics.equatorial import rho_of_req
+    varphis = np.linspace(-np.pi, np.pi, 4)
+    # req inside the Schwarzschild horizon: no first crossing lands there
+    _, rho_bad = rho_of_req(0.0, np.deg2rad(80), req=1.0, mbar=0,
+                            varphis=varphis, ngeo=128)
+    assert np.isnan(rho_bad).all(), rho_bad
+    # a reachable radius still solves
+    _, rho_ok = rho_of_req(0.0, np.deg2rad(80), req=6.0, mbar=0,
+                           varphis=varphis, ngeo=128)
+    assert np.isfinite(rho_ok).all(), rho_ok
+
+
+def test_geodesics_properties_stay_float64_host():
+    """Derived metric properties are host numpy float64 (a jnp call on
+    f64 input silently becomes f32 on the default backend)."""
+    from bhnerf_tpu.geodesics import trace_geodesics
+    b = np.linspace(3, 8, 4)
+    geos = trace_geodesics(b, np.zeros_like(b), 0.5, np.deg2rad(60),
+                           ngeo=16, n_fine=512)
+    for name in ('Sigma', 'Delta', 'Xi', 'omega', 'Theta', 'R'):
+        val = getattr(geos, name)
+        assert isinstance(val, np.ndarray), name
+        assert val.dtype == np.float64, (name, val.dtype)
+    assert geos.keplerian_omega().dtype == np.float64
+
+
+def test_trace_rejects_nonunit_mass():
+    from bhnerf_tpu.geodesics import trace_geodesics
+    with pytest.raises(ValueError, match='M=E=1'):
+        trace_geodesics(np.array([5.0]), np.array([0.0]), 0.0,
+                        np.deg2rad(60), M=2.0)
