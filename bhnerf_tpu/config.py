@@ -121,13 +121,15 @@ class RunConfig:
                                  f'{dc_cls.__name__}: {sorted(unknown)}')
             return dc_cls(**known)
 
-        opt_raw = dict(raw.get('optimization', {}))
-        hp = build(HParams, opt_raw.pop('hparams', {}))
+        # `or {}`: a bare YAML section header ('model:') parses as None
+        opt_raw = dict(raw.get('optimization') or {})
+        hp = build(HParams, opt_raw.pop('hparams', None) or {})
         opt = build(OptimizationConfig, opt_raw)
         opt.hparams = hp
         return cls(
-            preprocess=build(PreprocessConfig, raw.get('preprocess', {})),
-            model=build(ModelConfig, raw.get('model', {})),
+            preprocess=build(PreprocessConfig,
+                             raw.get('preprocess') or {}),
+            model=build(ModelConfig, raw.get('model') or {}),
             optimization=opt)
 
     def to_yaml(self, path):
@@ -139,15 +141,6 @@ class RunConfig:
         Path(path).parent.mkdir(parents=True, exist_ok=True)
         with open(path, 'w') as f:
             yaml.dump(payload, f, default_flow_style=False)
-
-    def merged_model(self, other: 'RunConfig' = None):
-        """dict-union of model sections (reference script merge at
-        Fit_Synthetic_LP_Flares.py:59)."""
-        out = dataclasses.asdict(self.model)
-        if other is not None:
-            out.update(dataclasses.asdict(other.model))
-        return out
-
 
 def inclination_grid(inc_args, start_inc=None):
     """CLI inclination-block logic (reference Fit_*.py:25-31, 91-96)."""

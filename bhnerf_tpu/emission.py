@@ -60,6 +60,11 @@ def generate_tube(resolution, rot_axis, phi_start, phi_end, orbit_radius, std,
         raise ValueError(
             f'tube radius ({orbit_radius}) is within r_isco: {r_isco}')
     resolution = tuple(int(n) for n in np.atleast_1d(resolution))
+    if phi_end <= phi_start:
+        raise ValueError(
+            f'empty tube range [{phi_start}, {phi_end}): for an arc '
+            f'wrapping through 2*pi pass phi_end = phi_start + extent '
+            f'(angles beyond 2*pi wrap naturally)')
     rot_matrix = _orbit_rotation(rot_axis)
     data = 0.0
     grid = None
@@ -106,6 +111,12 @@ def velocity_warp_matrix(coords_ndim, Omega, t_frames, t_start_obs, t_geos,
     if isinstance(t_start_obs, units.Quantity):
         t_units = t_start_obs.unit
         t_start_obs = t_start_obs.value
+    elif t_units is None and isinstance(t_frames, units.Quantity):
+        # a unit-carrying t_frames with a plain-float t_start_obs must
+        # not silently drop its unit (0.1 hr would be read as 0.1 M and
+        # the movie would render essentially frozen; the reference
+        # raises here)
+        t_units = t_frames.unit
 
     GM_c3 = 1.0
     if t_units is not None:
@@ -213,6 +224,21 @@ def fill_unsupervised_emission(emission, coords, rmin=0.0, rmax=np.inf,
 # ---------------------------------------------------------------------------
 # full (non-learned) forward model (reference emission.py:235-341)
 # ---------------------------------------------------------------------------
+def apply_stokes_factors(emission, J):
+    """Multiply per-sample Stokes factors J ((nstokes, ...sample dims))
+    onto emission ((*frame_dims, ...sample dims)), inserting the Stokes
+    axis after the frame dims. Explicit rather than expand+squeeze: the
+    reference's pattern drops the frame axis when nt == 1
+    (network.py:415-418). Scalar / 0-d J is a plain intensity scale."""
+    if jnp.ndim(J) > 0:
+        nt_dims = emission.ndim - 3
+        J_b = jnp.asarray(J).reshape((1,) * nt_dims + np.shape(J))
+        return J_b * jnp.expand_dims(emission, axis=nt_dims)
+    if np.isscalar(J) and J == 1.0:
+        return emission
+    return emission * J
+
+
 def image_plane_dynamics(emission_0, geos, Omega, t_frames, t_injection,
                          J=1.0, t_start_obs=None, slow_light=True,
                          doppler=True, rot_axis=(0, 0, 1),
@@ -224,7 +250,8 @@ def image_plane_dynamics(emission_0, geos, Omega, t_frames, t_injection,
         if isinstance(t_frames, units.Quantity):
             t_start_obs = t_frames[0] if t_frames.ndim else t_frames
         else:
-            t_start_obs = np.atleast_1d(np.asarray(t_frames))[0]
+            # jnp (not np): t_frames may be a tracer under jit
+            t_start_obs = jnp.atleast_1d(jnp.asarray(t_frames))[0]
 
     warped, valid = velocity_warp_coords(
         coords=jnp.asarray(np.stack([geos.x, geos.y, geos.z], axis=0)),
@@ -240,24 +267,23 @@ def image_plane_dynamics(emission_0, geos, Omega, t_frames, t_injection,
     if isinstance(emission_0, utils.Grid3D) and emission_0.data.ndim == 3:
         emission = interpolate_coords(emission_0, warped)
     elif isinstance(emission_0, utils.Grid3D):  # movie: leading time axis
+        n_em = emission_0.data.shape[0]
+        nt = np.shape(t_frames)[0] if np.ndim(t_frames) else 1
+        if n_em != nt:
+            raise ValueError(
+                f'movie emission has {n_em} frames but t_frames has '
+                f'{nt}: frame i is rendered at time i (interpolate or '
+                f'resample one of them first)')
         frames = [interpolate_coords(
             utils.Grid3D(emission_0.data[i], emission_0.start,
                          emission_0.stop), warped[i] if warped.ndim > 4 else warped)
-            for i in range(emission_0.data.shape[0])]
+            for i in range(n_em)]
         emission = jnp.stack(frames)
     else:
         raise TypeError('emission_0 must be a Grid3D')
     emission = jnp.where(valid, emission, 0.0)
 
-    if jnp.ndim(J) > 0:
-        # Stokes axis goes after any leading frame dims (see
-        # train.step.image_plane_prediction for the nt == 1 pitfall in
-        # the reference's expand+squeeze pattern)
-        nt_dims = emission.ndim - 3
-        J_b = jnp.asarray(J).reshape((1,) * nt_dims + np.shape(J))
-        emission = J_b * jnp.expand_dims(emission, axis=nt_dims)
-    elif not (np.isscalar(J) and J == 1.0):
-        emission = emission * J
+    emission = apply_stokes_factors(emission, J)
 
     return gr.radiative_transfer(emission, jnp.asarray(g),
                                  jnp.asarray(geos.dtau),

@@ -1,2 +1,3 @@
 from bhnerf_tpu.parallel.mesh import (create_mesh, frame_sharding,
-                                      replicate, replicated, shard_frames)
+                                      ray_sharding_spec, replicate,
+                                      replicated, shard_frames)

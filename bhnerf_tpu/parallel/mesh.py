@@ -66,5 +66,3 @@ def ray_sharding_spec(ndim, mesh, ray_axis):
     return NamedSharding(mesh, P(*spec))
 
 
-def pad_to_multiple(n, m):
-    return ((n + m - 1) // m) * m

@@ -391,16 +391,8 @@ def image_plane_prediction(params, predictor, t_frames_M,
         # XLA path (also taken for a learnable injection offset, whose
         # gradient flows through the warp — outside the fused VJP)
         emission = predict_emission(params, predictor, t_frames_M, rt)
-    if jnp.ndim(rt.J) > 0:
-        # insert the Stokes axis after any leading frame dims (explicit —
-        # the reference's expand+squeeze pattern drops the frame axis
-        # when nt == 1, network.py:415-418); 0-d J (scalar, possibly
-        # traced) is a plain intensity scale
-        nt_dims = emission.ndim - 3
-        J = jnp.asarray(rt.J).reshape((1,) * nt_dims + np.shape(rt.J))
-        emission = J * jnp.expand_dims(emission, axis=nt_dims)
-    elif not (np.isscalar(rt.J) and rt.J == 1.0):
-        emission = emission * rt.J
+    from bhnerf_tpu.emission import apply_stokes_factors
+    emission = apply_stokes_factors(emission, rt.J)
     return gr.radiative_transfer(emission, rt.g, rt.dtau, rt.Sigma)
 
 

@@ -185,6 +185,12 @@ def spherical_coords_to_rotation_axis(theta, phi):
                          np.sin(phi) * np.sin(theta),
                          np.cos(theta)])
     rot_axis_prime = np.cross(r_vector, z_axis)
+    if np.linalg.norm(rot_axis_prime) < 1e-12:
+        # degenerate pole directions (theta = 0 or pi): the cross
+        # product vanishes and normalizing it would return NaNs (the
+        # reference shares this flaw); the orbit plane is the equator,
+        # any consistent axis works
+        return np.array([0.0, 0.0, np.sign(np.cos(theta)) or 1.0]), phi
     rot = np.asarray(rotation_matrix(rot_axis_prime, np.pi / 2))
     rot_axis = rot @ r_vector
     return rot_axis, phi

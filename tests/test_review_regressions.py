@@ -129,3 +129,58 @@ def test_step_fns_cached():
     a = make_step_fns(p1, 'image', 'lc')
     b = make_step_fns(p2, 'image', 'lc')
     assert a[0] is b[0]  # identical configs share jit caches
+
+
+def test_warp_adopts_quantity_unit_with_plain_start():
+    """Quantity t_frames + plain-float t_start_obs must not silently
+    drop the time unit (0.1 hr read as 0.1 M renders a frozen movie)."""
+    import jax.numpy as jnp
+    from bhnerf_tpu import emission, units
+    coords = jnp.asarray(np.array([[3.0], [0.0], [0.0]]))
+    kw = dict(coords=coords, Omega=0.05, t_geos=0.0, t_injection=-10.0,
+              return_mask=True)
+    w_mixed, _ = emission.velocity_warp_coords(
+        t_frames=units.Quantity(10.1, 'hr'), t_start_obs=10.0, **kw)
+    w_united, _ = emission.velocity_warp_coords(
+        t_frames=units.Quantity(10.1, 'hr'),
+        t_start_obs=units.Quantity(10.0, 'hr'), **kw)
+    np.testing.assert_allclose(np.asarray(w_mixed), np.asarray(w_united),
+                               rtol=1e-6)
+
+
+def test_config_tolerates_empty_yaml_sections():
+    """A bare 'model:' header parses as None; from_dict must treat it
+    as all-defaults instead of crashing."""
+    from bhnerf_tpu.config import RunConfig
+    cfg = RunConfig.from_dict({'model': None, 'optimization': None,
+                               'preprocess': None})
+    assert cfg.model is not None
+    cfg2 = RunConfig.from_dict({'optimization': {'hparams': None}})
+    assert cfg2.optimization.hparams is not None
+
+
+def test_generate_tube_rejects_empty_range():
+    from bhnerf_tpu import emission
+    with pytest.raises(ValueError, match='empty tube range'):
+        emission.generate_tube((8, 8, 8), [0, 0, 1], phi_start=5.5,
+                               phi_end=0.5, orbit_radius=6.0, std=0.5,
+                               r_isco=6.0, fov=16.0)
+
+
+def test_rotation_axis_degenerate_poles_finite():
+    from bhnerf_tpu import utils
+    for theta in (0.0, np.pi):
+        axis, _ = utils.spherical_coords_to_rotation_axis(theta, 0.3)
+        assert np.isfinite(axis).all(), (theta, axis)
+
+
+def test_image_plane_dynamics_movie_length_mismatch_raises():
+    from bhnerf_tpu import emission, utils
+    from bhnerf_tpu.geodesics import trace_geodesics
+    b = np.linspace(3, 8, 4)
+    geos = trace_geodesics(b, np.zeros_like(b), 0.0, np.deg2rad(60),
+                           ngeo=16, n_fine=512)
+    movie = utils.Grid3D(np.zeros((3, 8, 8, 8)), (-8.0,) * 3, (8.0,) * 3)
+    with pytest.raises(ValueError, match='movie emission'):
+        emission.image_plane_dynamics(movie, geos, 0.05,
+                                      np.array([0.0, 1.0]), -10.0)
