@@ -210,7 +210,11 @@ class NeRFPredictor:
     @classmethod
     def from_yml(cls, directory, filename='NeRF_Predictor_params.yml'):
         cfg = yaml.safe_load((Path(directory) / filename).read_text())
-        cfg = {k: (np.inf if v == '.inf' else v) for k, v in cfg.items()}
+        # hand-edited files sometimes quote infinities as strings
+        inf_forms = {'.inf': np.inf, 'inf': np.inf,
+                     '-.inf': -np.inf, '-inf': -np.inf}
+        cfg = {k: inf_forms.get(v, v) if isinstance(v, str) else v
+               for k, v in cfg.items()}
         return cls(**cfg)
 
 
@@ -283,6 +287,12 @@ def sample_3d_grid(predictor, params, t_frame=0.0, t_start_obs=0.0,
     t_units = t_frame.unit if isinstance(t_frame, units.Quantity) else None
     resolution = coords.shape[1]
     chunk = resolution if chunk < 0 else chunk
+    # the grid is sampled in the canonical frame, where the injection
+    # time is irrelevant — but the learnable offset would shift the
+    # t >= t_injection validity mask and (for a positive offset) zero
+    # the whole volume; drop it for sampling
+    if isinstance(params, dict) and 't_injection' in params:
+        params = {k: v for k, v in params.items() if k != 't_injection'}
 
     out = []
     for c in range(int(np.ceil(resolution / chunk))):

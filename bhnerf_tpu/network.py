@@ -48,8 +48,14 @@ def tv_reg(predictor, params, coords, lam=1.0):
         valid = jnp.ones((1,), bool)
         return predictor.emission_at(params, warped, valid, c[:, None])[0]
 
+    coords = jnp.asarray(coords)
+    if coords.shape[0] == 3 and coords.shape[-1] != 3:
+        # accept the codebase-standard component-leading (3, ...) layout
+        # (velocity_warp_coords / domain_mask convention); reshape(-1, 3)
+        # on it would interleave components into fake 3D points
+        coords = jnp.moveaxis(coords, 0, -1)
     grad_fn = jax.vmap(jax.grad(predict))
-    grads = grad_fn(jnp.asarray(coords).reshape(-1, 3))
+    grads = grad_fn(coords.reshape(-1, 3))
     return lam * jnp.sum(jnp.abs(grads))
 
 

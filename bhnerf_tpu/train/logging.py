@@ -21,12 +21,18 @@ class SummaryWriter(tensorboardX.SummaryWriter if _HAS_TBX else object):
     """tensorboardX writer with recovery/datafit log-closure factories
     (reference optimization.py:304-347)."""
 
+    def __init__(self, *args, **kwargs):
+        if not _HAS_TBX:
+            raise ImportError(
+                'tensorboardX is required for SummaryWriter (failing '
+                'fast here beats an AttributeError hours into training)')
+        super().__init__(*args, **kwargs)
+
     def recovery_3d(self, fov, vis_res=64, emission_true=None):
         from bhnerf_tpu import utils
         from bhnerf_tpu.models import fields as fields_lib
 
         if emission_true is not None:
-            res = emission_true.spatial_shape
             vis_coords = np.stack(np.meshgrid(
                 emission_true.x, emission_true.y, emission_true.z,
                 indexing='ij'))
@@ -99,7 +105,9 @@ class StepTimer:
 
     def __call__(self, opt):
         now = self._time.perf_counter()
-        if self.last_t is not None and opt.step != self.last_step:
+        if opt.step == self.last_step:
+            return  # same-step re-entry must not reset the clock
+        if self.last_t is not None:
             self.steps_per_sec = (opt.step - self.last_step) / (
                 now - self.last_t)
         self.last_t = now

@@ -15,6 +15,7 @@ flax TrainState + flax.training.checkpoints + jax_utils.replicate). Here:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 import re
 from pathlib import Path
@@ -51,9 +52,6 @@ class TrainState:
                                                 self.params)
         new_params = optax.apply_updates(self.params, updates)
         return TrainState(self.step + 1, new_params, new_opt_state, self.tx)
-
-
-import functools
 
 
 @functools.lru_cache(maxsize=256)
@@ -134,13 +132,16 @@ def save_checkpoint(checkpoint_dir, state: TrainState, step, keep=5):
     path = checkpoint_dir / f'checkpoint_{int(step)}'
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, payload, force=True)
-    # prune old checkpoints
-    steps = sorted(int(m.group(1)) for p in checkpoint_dir.iterdir()
-                   if (m := _CKPT_RE.match(p.name)))
-    for old in steps[:-keep]:
+    # prune old checkpoints; keep <= 0 keeps everything (steps[:-0]
+    # would otherwise prune nothing for 0 but delete the NEWEST for
+    # negative values)
+    if keep > 0:
+        steps = sorted(int(m.group(1)) for p in checkpoint_dir.iterdir()
+                       if (m := _CKPT_RE.match(p.name)))
         import shutil
-        shutil.rmtree(checkpoint_dir / f'checkpoint_{old}',
-                      ignore_errors=True)
+        for old in steps[:-keep]:
+            shutil.rmtree(checkpoint_dir / f'checkpoint_{old}',
+                          ignore_errors=True)
 
 
 def restore_checkpoint(checkpoint_dir, state: TrainState):

@@ -75,6 +75,15 @@ class Quantity:
 
     __slots__ = ('value', 'unit')
 
+    # numpy left operands (np.float64(1.0) - q, ndarray - q) would
+    # otherwise resolve through ndarray's ufunc machinery and silently
+    # strip the unit; declaring the ufunc protocol unsupported makes
+    # numpy return NotImplemented so Python falls back to our reflected
+    # operators (and direct ufunc calls fail loudly instead of
+    # laundering hours into M units)
+    __array_ufunc__ = None
+    __array_priority__ = 1000
+
     def __init__(self, value, unit):
         if isinstance(value, Quantity):
             value = value.to(unit).value

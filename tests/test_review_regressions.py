@@ -184,3 +184,42 @@ def test_image_plane_dynamics_movie_length_mismatch_raises():
     with pytest.raises(ValueError, match='movie emission'):
         emission.image_plane_dynamics(movie, geos, 0.05,
                                       np.array([0.0, 1.0]), -10.0)
+
+
+def test_sample_3d_grid_ignores_learned_injection_offset():
+    """The canonical-frame volume must not be masked out by a positive
+    trained injection offset (valid = t - t_inj >= 0 at t = 0)."""
+    import jax.numpy as jnp
+    from bhnerf_tpu.models import NeRFPredictor, sample_3d_grid
+    pred = NeRFPredictor(scale=8.0, net_width=16, net_depth=2,
+                         learn_injection=True)
+    params = pred.init_params(seed=0)
+    params['t_injection'] = jnp.float32(0.5)
+    vol = sample_3d_grid(pred, params, fov=16.0, resolution=8)
+    assert np.asarray(vol).max() > 0.0, 'volume masked to zero'
+
+
+def test_quantity_reflected_numpy_ops_keep_unit():
+    """numpy left operands must not strip the unit (ndarray - Quantity
+    was returning a raw array, laundering hours into M units)."""
+    from bhnerf_tpu import units
+    q = units.Quantity(30.0, 'min')
+    for left in (np.float64(1.0), np.array([1.0, 2.0])):
+        out = left - q
+        assert isinstance(out, units.Quantity), type(out)
+        assert out.unit == units.Unit('min')
+    with pytest.raises(TypeError):
+        np.subtract(np.float64(1.0), q)  # direct ufunc fails loudly
+
+
+def test_tv_reg_accepts_component_leading_coords():
+    """tv_reg must treat the codebase-standard (3, N) layout the same as
+    (N, 3) instead of interleaving components into fake points."""
+    from bhnerf_tpu import network
+    from bhnerf_tpu.models import NeRFPredictor
+    pred = NeRFPredictor(scale=8.0, net_width=16, net_depth=2)
+    params = pred.init_params(seed=0)
+    pts = np.random.default_rng(0).uniform(-4, 4, (17, 3))
+    a = float(network.tv_reg(pred, params, pts))
+    b = float(network.tv_reg(pred, params, pts.T))
+    np.testing.assert_allclose(a, b, rtol=1e-6)
