@@ -71,7 +71,7 @@ def main(out_dir='example_outputs', small=False):
     os.makedirs(out_dir, exist_ok=True)
     csv = os.path.join(out_dir, 'alma_synthetic.csv')
     num = 16 if small else 32
-    iters = 150 if small else 1000
+    iters = 500 if small else 1000
     model_params = synthesize_alma_csv(csv, num=num)
 
     # 1. preprocessing (window average, shadow subtraction, de-rotation)

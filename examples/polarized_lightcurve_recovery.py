@@ -18,8 +18,7 @@ import time
 import numpy as np
 import jax
 from bhnerf_tpu.utils import compilation_cache_dir
-    jax.config.update('jax_compilation_cache_dir',
-                      compilation_cache_dir())
+jax.config.update('jax_compilation_cache_dir', compilation_cache_dir())
 jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
 from bhnerf_tpu import alma, constants, emission, units, utils
 from bhnerf_tpu.models import NeRFPredictor, sample_3d_grid
