@@ -19,7 +19,7 @@ import numpy as np
 
 def synthesize_alma_csv(path, inc_true=60.0, t_start=9.33, t_end=11.0,
                         cadence_s=4.0, P_sha=0.16, chi_sha=-37.0,
-                        faraday_deg=32.2, seed=0, num=24):
+                        faraday_deg=32.2, seed=0, num=24, rot_angle=0.0):
     """Render a polarized hotspot lightcurve and dress it up like the
     ALMA data product (shadow polarization + Faraday rotation + noise)."""
     import pandas as pd
@@ -32,16 +32,23 @@ def synthesize_alma_csv(path, inc_true=60.0, t_start=9.33, t_end=11.0,
         'Omega_dir': 'cw', 'Omega_frac': 1.0,
         'num_alpha': num, 'num_beta': num, 't_start_obs': t_start,
     }
+    # the same EVPA model rotation the fit below uses: data and model
+    # must share the Q/U frame or the chi^2 scan is systematically skewed
     geos, Omega, J = alma.image_plane_model(np.deg2rad(inc_true), 0.0,
-                                            model_params)
+                                            model_params,
+                                            rot_angle=rot_angle)
     hotspot = emission.generate_hotspot((48,) * 3, [0, 0, 1], 0.0, 9.0,
                                         1.2, 6.0, 40.0)
     t = np.arange(t_start, t_end, cadence_s / 3600.0)
     t_frames = units.Quantity(t, 'hr')
-    movie = np.asarray(emission.image_plane_dynamics(
-        hotspot, geos, Omega, t_frames,
-        t_injection=-float(geos.r_o + 10.0), J=J,
-        t_start_obs=t_frames[0]))
+    # chunk the ~1500-frame render: one call materializes (nt, na, nb,
+    # ngeo) warp tensors (~5 GB at 32x32) and exhausts device memory
+    movie = np.concatenate([
+        np.asarray(emission.image_plane_dynamics(
+            hotspot, geos, Omega, units.Quantity(t[i:i + 64], 'hr'),
+            t_injection=-float(geos.r_o + 10.0), J=J,
+            t_start_obs=t_frames[0]))
+        for i in range(0, len(t), 64)])
     movie = np.asarray(emission.normalize_stokes(movie, 2.4, 0.1))
     lc = movie.sum(axis=(-1, -2))
 
@@ -72,7 +79,8 @@ def main(out_dir='example_outputs', small=False):
     csv = os.path.join(out_dir, 'alma_synthetic.csv')
     num = 16 if small else 32
     iters = 500 if small else 1000
-    model_params = synthesize_alma_csv(csv, num=num)
+    rot_angle = np.deg2rad(32.2 + 20.0)
+    model_params = synthesize_alma_csv(csv, num=num, rot_angle=rot_angle)
 
     # 1. preprocessing (window average, shadow subtraction, de-rotation)
     target, t_frames = alma.preprocess_data(
@@ -81,7 +89,6 @@ def main(out_dir='example_outputs', small=False):
     print(f'preprocessed: {target.shape[0]} scans, stokes I/Q/U')
 
     # 2. fit at a few inclinations, score with chi2
-    rot_angle = np.deg2rad(32.2 + 20.0)
     predictor = NeRFPredictor(scale=20.0, rmin=6.0, rmax=20.0, z_width=4.0,
                               net_depth=3, net_width=64)
     sigma = np.array([0.15, 1e-2, 1e-2])
