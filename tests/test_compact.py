@@ -131,3 +131,82 @@ def test_compact_fused_matches(setup):
                                             t_frames_M, crt, fused=True))
     scale = np.abs(ref).max()
     np.testing.assert_allclose(out / scale, ref / scale, atol=2e-5)
+
+
+def test_grouped_reduction_fuzz_segment_distributions():
+    """Property test: the grouped layout must reproduce direct
+    segment_sum for adversarial pixel-id distributions — empty pixels,
+    1-sample pixels, one huge segment, all sizes mod G."""
+    import dataclasses
+    from bhnerf_tpu.train.step import (CompactRayArgs, _reduce_to_images,
+                                       compact_raytracing_args, _REDUCE_G)
+    rng = np.random.default_rng(7)
+    npix = 37
+    # segment sizes: zeros, ones, every residue mod G, one huge
+    sizes = np.zeros(npix, int)
+    sizes[1] = 1
+    sizes[3:3 + 10] = np.arange(1, 11)
+    sizes[20] = 113
+    sizes[30:34] = rng.integers(0, 25, 4)
+    pixel_ids = np.repeat(np.arange(npix), sizes)
+    n_eff = pixel_ids.size
+    tile = 64
+    n_pad = (n_eff + tile - 1) // tile * tile
+
+    # hand-build a CompactRayArgs with this distribution (2 stokes)
+    W = rng.normal(size=(2, n_eff))
+    crt = _build_compact_for_test(pixel_ids, W, npix, n_pad, tile)
+
+    em = jnp.asarray(rng.normal(size=(3, n_pad)), jnp.float32)
+    got = np.asarray(_reduce_to_images(em, crt))
+    direct = np.asarray(_reduce_to_images(
+        em, dataclasses.replace(crt, red_gather=None, red_weights=None,
+                                red_group_ids=None)))
+    scale = np.abs(direct).max() + 1e-12
+    np.testing.assert_allclose(got / scale, direct / scale, atol=3e-6)
+
+
+def _build_compact_for_test(pixel_ids, W, npix, n_pad, tile):
+    """Mirror compact_raytracing_args' grouped-layout construction for a
+    synthetic (pixel_ids, weights) pair."""
+    import jax.numpy as _jnp
+    from bhnerf_tpu.train.step import CompactRayArgs, _REDUCE_G
+    n_eff = pixel_ids.size
+    G = _REDUCE_G
+    W_pad = np.concatenate(
+        [W, np.zeros((W.shape[0], n_pad - n_eff))], axis=1)
+    pix_pad = np.concatenate(
+        [pixel_ids, np.full(n_pad - n_eff, npix, np.int64)])
+    counts = np.bincount(pixel_ids, minlength=npix)
+    nz = np.flatnonzero(counts)
+    c_nz = counts[nz]
+    seg_starts = np.concatenate([[0], np.cumsum(c_nz)])[:-1]
+    ng = -(-c_nz // G)
+    slots = ng * G
+    tot = int(slots.sum())
+    pix_of_slot = np.repeat(np.arange(nz.size), slots)
+    off = np.concatenate([[0], np.cumsum(slots)])[:-1]
+    sl_in = np.arange(tot) - off[pix_of_slot]
+    valid = sl_in < c_nz[pix_of_slot]
+    red_gather = np.where(valid, seg_starts[pix_of_slot] + sl_in, 0)
+    red_w = np.where(valid[None], W_pad[:, red_gather], 0.0)
+    red_gid = np.repeat(nz, ng)
+    g_pad = (red_gid.size + 7) // 8 * 8 - red_gid.size
+    if g_pad:
+        red_gather = np.concatenate([red_gather,
+                                     np.zeros(g_pad * G, np.int64)])
+        red_w = np.concatenate(
+            [red_w, np.zeros((red_w.shape[0], g_pad * G))], axis=1)
+        red_gid = np.concatenate([red_gid,
+                                  np.full(g_pad, npix, np.int64)])
+    return CompactRayArgs(
+        coords=_jnp.zeros((3, n_pad), _jnp.float32),
+        Omega=0.0,
+        weights=_jnp.asarray(W_pad, _jnp.float32),
+        t_geos_rel=_jnp.zeros((n_pad,), _jnp.float32),
+        pixel_ids=_jnp.asarray(pix_pad, _jnp.int32),
+        t_injection=_jnp.zeros(()),
+        red_gather=_jnp.asarray(red_gather, _jnp.int32),
+        red_weights=_jnp.asarray(red_w, _jnp.float32),
+        red_group_ids=_jnp.asarray(red_gid, _jnp.int32),
+        image_shape=(npix, 1), polarized=True)
