@@ -44,7 +44,13 @@ TILE_N = 4096
 
 
 def _interpret():
-    return jax.default_backend() != 'tpu'
+    """Pallas interpret mode off-TPU. The ambient plugin registers the
+    real chip under an inconsistent platform name ('tpu' or 'axon' —
+    CLAUDE.md); matching 'tpu' alone would silently run the whole hot
+    path emulated on the chip, so check the device kind too."""
+    dev = jax.devices()[0]
+    return not (dev.platform.lower() in ('tpu', 'axon')
+                or 'TPU' in str(getattr(dev, 'device_kind', '')))
 
 
 def pack_params(params, net_depth):
@@ -333,6 +339,13 @@ def _render_bwd(g_em, em, f_store, packed, cfg, compute_dtype):
     feat = f_store.shape[0]
     dtype = jnp.bfloat16 if compute_dtype == 'bfloat16' else jnp.float32
     tile = _pick_tile(nt, dtype)
+    max_cols = (6 if dtype == jnp.bfloat16 else 4) * TILE_N
+    if nt * tile > max_cols:
+        raise ValueError(
+            f'fused backward with nt={nt} frames holds {nt * tile} '
+            f'folded activation columns in VMEM (budget {max_cols}); '
+            f'batch the frames (e.g. train with batchsize <= '
+            f'{max_cols // 512})')
     n_tiles = n // tile
     kernel = functools.partial(_bwd_kernel, nt=nt, cfg=cfg, dtype=dtype)
     # grads match the packed layout: dW^T (out, in), db (out, 1)
@@ -404,6 +417,13 @@ def _fr_bwd(cfg, scale, deg, compute_dtype, residuals, g_em):
     packed = pack_params(params, cfg[0])
     flat = _render_bwd(g_em, em, f_store, packed, cfg, compute_dtype)
     d_params = unpack_grads(list(flat), cfg[0])
+    # the cotangent tree must match the input params tree: zero-fill any
+    # non-MLP leaves (e.g. a learn_injection offset — its warp gradient
+    # is intentionally outside this kernel's VJP; train.step routes
+    # learnable-injection training through the XLA path)
+    for k, v in params.items():
+        if k not in d_params:
+            d_params[k] = jax.tree_util.tree_map(jnp.zeros_like, v)
     nt, n = em.shape
     zrow = jnp.zeros((1, n), jnp.float32)
     return (d_params, jnp.zeros((3, n), jnp.float32), zrow, zrow, zrow,
@@ -455,7 +475,13 @@ def render_samples(params, predictor, t_frames_M, coords, omega, tg,
 
 def predict_emission_fused(params, predictor, t_frames_M, rt):
     """Drop-in replacement for train.step.predict_emission using the
-    fused kernel. Returns emission shaped (nt, na, nb, ngeo)."""
+    fused kernel. Returns emission shaped (nt, na, nb, ngeo).
+
+    Sharding note: pallas_call has no GSPMD partitioning rule — under a
+    mesh with sharded sample inputs the partitioner all-gathers and
+    each device computes the full kernel (correct, replicated). Mesh
+    runs that need sample-parallel kernels should shard_map this; the
+    measured single-chip path is the production configuration."""
     from bhnerf_tpu import emission as emission_lib
 
     # supervision-domain mask on the unwarped coords (static per model)

@@ -191,7 +191,7 @@ def compact_raytracing_args(rt: RayTracingArgs, predictor,
     domain = np.asarray(emission_lib.domain_mask(
         coords, predictor.rmin, predictor.rmax, predictor.z_width))
 
-    flat_idx = np.flatnonzero(domain.reshape(na * nb, ngeo).reshape(-1))
+    flat_idx = np.flatnonzero(domain.reshape(-1))
     pixel_ids = flat_idx // ngeo
     n_eff = flat_idx.size
     n_pad = (n_eff + tile - 1) // tile * tile
@@ -346,7 +346,10 @@ def _compact_prediction(params, predictor, t_frames_M, crt: CompactRayArgs,
     n = crt.coords.shape[-1]
     t_shape = jnp.shape(t_frames_M)
 
-    fused = fused and not _wants_warp_grad(params)
+    # XLA path when gradients must flow through the warp, or for
+    # out_channel > 1 (the kernel emits one emission row per sample)
+    fused = (fused and not _wants_warp_grad(params)
+             and getattr(predictor, 'out_channel', 1) == 1)
 
     if fused:
         # warp + posenc + MLP all inside the Pallas kernel; the sample
@@ -383,7 +386,8 @@ def image_plane_prediction(params, predictor, t_frames_M,
     if isinstance(rt, CompactRayArgs):
         return _compact_prediction(params, predictor, t_frames_M, rt,
                                    fused=fused)
-    if fused and not _wants_warp_grad(params):
+    if (fused and not _wants_warp_grad(params)
+            and getattr(predictor, 'out_channel', 1) == 1):
         from bhnerf_tpu.ops import fused as fused_lib
         emission = fused_lib.predict_emission_fused(
             params, predictor, t_frames_M, rt)

@@ -112,3 +112,56 @@ def test_fused_bf16_gradients_close_to_f32(setup):
         assert cos > 0.99, (path, cos)
 
     jax.tree_util.tree_map_with_path(cosine, g_ref, g_b)
+
+
+def test_fused_vjp_tolerates_extra_param_leaves():
+    """Differentiating the public fused API with learn_injection params
+    must return a matching pytree (zero cotangent for the offset) rather
+    than a custom_vjp structure error."""
+    import jax
+    import jax.numpy as jnp
+    from bhnerf_tpu.models import NeRFPredictor
+    from bhnerf_tpu.ops import fused
+    pred = NeRFPredictor(scale=8.0, net_width=16, net_depth=2,
+                         learn_injection=True)
+    params = pred.init_params(seed=0)
+    n = fused.TILE_N
+    coords = jnp.zeros((3, n), jnp.float32)
+    omega = jnp.full((n,), 0.02, jnp.float32)
+    tg = jnp.zeros((n,), jnp.float32)
+
+    def loss(p):
+        em = fused.render_samples(p, pred, jnp.zeros((1,), jnp.float32),
+                                  coords, omega, tg, 0.0)
+        return jnp.sum(em)
+
+    g = jax.grad(loss)(params)
+    assert 't_injection' in g
+    assert float(np.asarray(g['t_injection'])) == 0.0
+
+
+def test_fused_flag_routes_multichannel_to_xla():
+    """out_channel > 1 is a supported predictor config on the XLA path;
+    a fused=True request must transparently fall back instead of
+    hitting the kernel's single-row output contract."""
+    import jax.numpy as jnp
+    from bhnerf_tpu.geodesics import trace_geodesics
+    from bhnerf_tpu.models import NeRFPredictor
+    from bhnerf_tpu.train import raytracing_args
+    from bhnerf_tpu.train.step import (compact_raytracing_args,
+                                       image_plane_prediction)
+    from bhnerf_tpu import units
+    b = np.linspace(3, 8, 8)
+    geos = trace_geodesics(b, np.zeros_like(b), 0.0, np.deg2rad(60),
+                           ngeo=16, n_fine=512)
+    rt = raytracing_args(geos, 0.05, -float(geos.r_o),
+                         units.Quantity(0.0, 'hr'))
+    pred = NeRFPredictor(scale=8.0, net_width=16, net_depth=2,
+                         out_channel=2)
+    params = pred.init_params(seed=0)
+    t = jnp.asarray([0.0, 10.0], jnp.float32)
+    a = np.asarray(image_plane_prediction(params, pred, t, rt,
+                                          fused=True))
+    bb = np.asarray(image_plane_prediction(params, pred, t, rt,
+                                           fused=False))
+    np.testing.assert_allclose(a, bb, atol=1e-6)
