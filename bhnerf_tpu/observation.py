@@ -211,6 +211,18 @@ class Observation:
         bl_of = np.array([b_idx[(int(a), int(b))]
                           for a, b in zip(lo, hi)])
 
+        # duplicate (scan, baseline) records (e.g. multi-channel / multi-IF
+        # ehtim data not yet frequency-averaged) would silently overwrite
+        # each other below (last row wins) — refuse instead
+        pair_keys = scan_of * len(baselines) + bl_of
+        if len(np.unique(pair_keys)) != len(pair_keys):
+            dup = np.flatnonzero(np.bincount(pair_keys) > 1)[0]
+            s_i, b_i = divmod(int(dup), len(baselines))
+            raise ValueError(
+                f'duplicate records for time={times[s_i]} baseline='
+                f'{names[baselines[b_i][0]]}-{names[baselines[b_i][1]]}; '
+                f'average over IFs/channels before from_uvdata')
+
         nscan, nbl = len(times), len(baselines)
         U = np.zeros((nscan, nbl))
         V = np.zeros((nscan, nbl))

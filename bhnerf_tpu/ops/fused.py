@@ -296,6 +296,19 @@ def _pick_tile(nt, dtype):
     return tile
 
 
+def _check_folded_vmem(nt, tile, dtype):
+    """Reject frame counts whose folded columns exceed the VMEM budget
+    with an actionable message (both kernels hold (feat, nt*tile)
+    features — and the bwd additionally activations — in VMEM; past the
+    budget Mosaic surfaces a raw allocation failure)."""
+    max_cols = (6 if dtype == jnp.bfloat16 else 4) * TILE_N
+    if nt * tile > max_cols:
+        raise ValueError(
+            f'fused kernel with nt={nt} frames holds {nt * tile} folded '
+            f'columns in VMEM (budget {max_cols}); batch the frames '
+            f'(e.g. nt <= {max_cols // 512})')
+
+
 @functools.partial(jax.jit,
                    static_argnames=('cfg', 'scale', 'deg', 'compute_dtype',
                                     'stash'))
@@ -305,6 +318,7 @@ def _render_fwd(t_eff, coords, omega, tg, smask, packed, cfg, scale, deg,
     nt = t_eff.shape[0]
     dtype = jnp.bfloat16 if compute_dtype == 'bfloat16' else jnp.float32
     tile = _pick_tile(nt, dtype)
+    _check_folded_vmem(nt, tile, dtype)
     n_tiles = n // tile
     kernel = functools.partial(_fwd_kernel, nt=nt, cfg=cfg, scale=scale,
                                deg=deg, dtype=dtype, stash=stash)
@@ -339,13 +353,7 @@ def _render_bwd(g_em, em, f_store, packed, cfg, compute_dtype):
     feat = f_store.shape[0]
     dtype = jnp.bfloat16 if compute_dtype == 'bfloat16' else jnp.float32
     tile = _pick_tile(nt, dtype)
-    max_cols = (6 if dtype == jnp.bfloat16 else 4) * TILE_N
-    if nt * tile > max_cols:
-        raise ValueError(
-            f'fused backward with nt={nt} frames holds {nt * tile} '
-            f'folded activation columns in VMEM (budget {max_cols}); '
-            f'batch the frames (e.g. train with batchsize <= '
-            f'{max_cols // 512})')
+    _check_folded_vmem(nt, tile, dtype)
     n_tiles = n // tile
     kernel = functools.partial(_bwd_kernel, nt=nt, cfg=cfg, dtype=dtype)
     # grads match the packed layout: dW^T (out, in), db (out, 1)
@@ -417,12 +425,20 @@ def _fr_bwd(cfg, scale, deg, compute_dtype, residuals, g_em):
     packed = pack_params(params, cfg[0])
     flat = _render_bwd(g_em, em, f_store, packed, cfg, compute_dtype)
     d_params = unpack_grads(list(flat), cfg[0])
-    # the cotangent tree must match the input params tree: zero-fill any
-    # non-MLP leaves (e.g. a learn_injection offset — its warp gradient
-    # is intentionally outside this kernel's VJP; train.step routes
-    # learnable-injection training through the XLA path)
+    # the cotangent tree must match the input params tree. The only
+    # non-MLP leaf with defined (intentionally-external) semantics is the
+    # learn_injection offset: its warp gradient lives outside this
+    # kernel's VJP and train.step routes learnable-injection training
+    # through the XLA path, so a zero here is correct-by-construction.
+    # Any OTHER unexpected leaf would silently get a wrong zero gradient
+    # — refuse instead of corrupting external callers' training.
     for k, v in params.items():
         if k not in d_params:
+            if k != 't_injection':
+                raise ValueError(
+                    f'fused_render VJP covers MLP parameters only; '
+                    f'param leaf {k!r} would receive a silent zero '
+                    f'gradient — use the XLA path for this predictor')
             d_params[k] = jax.tree_util.tree_map(jnp.zeros_like, v)
     nt, n = em.shape
     zrow = jnp.zeros((1, n), jnp.float32)

@@ -335,9 +335,12 @@ class TemporalBatchedArgs:
         no per-step H2D upload (the TPU sits behind a network tunnel;
         per-step transfers dominated the fused-kernel step time).
 
-        Under a mesh the frame tensors are placed sharded over the
-        'data' axis (frame times replicated), so the scan-chunked path
-        runs multi-chip with one dispatch per chunk as well."""
+        Under a mesh every frame tensor (frame times included) is placed
+        sharded over the 'data' axis, so the scan-chunked path runs
+        multi-chip with one dispatch per chunk as well. If the frame
+        count does not divide the 'data' axis size the tensors fall back
+        to full replication (with a warning — a multi-chip performance
+        cliff, not an error)."""
         if self._device_args is None:
             import jax.numpy as jnp
             arrays = [jnp.asarray(np.asarray(a, np.float32))
@@ -346,7 +349,16 @@ class TemporalBatchedArgs:
                 import jax
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 ndata = self.mesh.shape.get('data', 1)
-                spec = P('data') if self.num_frames % ndata == 0 else P()
+                if self.num_frames % ndata == 0:
+                    spec = P('data')
+                else:
+                    import warnings
+                    warnings.warn(
+                        f'num_frames={self.num_frames} does not divide '
+                        f"the 'data' mesh axis ({ndata}); frame tensors "
+                        f'fall back to full replication (every device '
+                        f'holds and processes all frames)')
+                    spec = P()
                 sh = NamedSharding(self.mesh, spec)
                 arrays = [jax.device_put(a, sh) for a in arrays]
             self._device_args = arrays

@@ -144,10 +144,19 @@ class CompactRayArgs:
     t_start_obs: float = 0.0
     t_to_M: float = 1.0
     t_units: Any = None
+    # sample-parallel layout (compact_raytracing_args(..., mesh=...)):
+    # the sample axis is blocked into `num_shards` equal contiguous
+    # shards; red_gather holds SHARD-LOCAL indices and the prediction
+    # runs under jax.shard_map over mesh axis `shard_axis`, psum-ing the
+    # per-shard partial images (no all-gather of sample tensors).
+    num_shards: int = 1
+    mesh: Any = None
+    shard_axis: str = 'ray'
 
     _LEAVES = ('coords', 'Omega', 'weights', 't_geos_rel', 'pixel_ids',
                't_injection', 'red_gather', 'red_weights', 'red_group_ids')
-    _AUX = ('image_shape', 'polarized', 't_start_obs', 't_to_M', 't_units')
+    _AUX = ('image_shape', 'polarized', 't_start_obs', 't_to_M', 't_units',
+            'num_shards', 'mesh', 'shard_axis')
 
     def tree_flatten(self):
         return (tuple(getattr(self, f) for f in self._LEAVES),
@@ -173,60 +182,13 @@ class CompactRayArgs:
 _REDUCE_G = 8
 
 
-def compact_raytracing_args(rt: RayTracingArgs, predictor,
-                            tile=None) -> CompactRayArgs:
-    """Gather the in-domain subset of a RayTracingArgs (host-side, once).
+def _grouped_layout(pixel_ids, W, npix, G):
+    """Grouped-reduction layout over ONE contiguous sample block.
 
-    predictor supplies rmin/rmax/z_width; J/g/dtau/Sigma fold into a
-    single per-sample weight per Stokes component. The sample count is
-    padded to the fused kernel's tile size so both pipelines accept the
-    result.
-    """
-    if tile is None:
-        from bhnerf_tpu.ops import fused as fused_lib
-        tile = fused_lib.TILE_N
-    from bhnerf_tpu import emission as emission_lib
-    coords = np.asarray(rt.coords)          # (3, na, nb, ngeo)
-    na, nb, ngeo = coords.shape[1:]
-    domain = np.asarray(emission_lib.domain_mask(
-        coords, predictor.rmin, predictor.rmax, predictor.z_width))
-
-    flat_idx = np.flatnonzero(domain.reshape(-1))
-    pixel_ids = flat_idx // ngeo
-    n_eff = flat_idx.size
-    n_pad = (n_eff + tile - 1) // tile * tile
-
-    def gather(x, fill=0.0):
-        x = np.asarray(x).reshape(-1)[flat_idx]
-        return np.concatenate(
-            [x, np.full(n_pad - n_eff, fill, x.dtype)])
-
-    w = (np.asarray(rt.g) ** 2 * np.asarray(rt.dtau)
-         * np.asarray(rt.Sigma)).reshape(-1)[flat_idx]
-    J = rt.J
-    # ndim (not isscalar): a scalar J that passed through a pytree op
-    # arrives as a 0-d array
-    polarized = np.ndim(J) > 0
-    if polarized:
-        W = np.asarray(J).reshape(np.shape(J)[0], -1)[:, flat_idx] * w
-    else:
-        W = (w * float(np.asarray(J)))[None]
-    W = np.concatenate(
-        [W, np.zeros((W.shape[0], n_pad - n_eff), W.dtype)], axis=1)
-
-    Omega = rt.Omega
-    Omega_c = (Omega if jnp.ndim(Omega) == 0 else
-               jnp.asarray(gather(Omega)))
-
-    coords_c = np.stack([gather(coords[i]) for i in range(3)])
-    pix = np.concatenate([pixel_ids,
-                          np.full(n_pad - n_eff, na * nb, np.int64)])
-
-    # grouped-reduction layout: per-pixel segments padded to multiples of
-    # G, so pixel sums become (vectorized group sums) + a G x smaller
-    # sorted scatter. Host-side, static per model config.
-    G = _REDUCE_G
-    npix = na * nb
+    pixel_ids: (n,) sorted pixel of each sample (block-local positions);
+    W: (nstokes, n) weights. Returns (red_gather block-LOCAL int indices,
+    red_weights with 0 on filler slots, red_group_ids sorted global pixel
+    ids), with n_groups * G slots (groups not yet padded to 8)."""
     counts = np.bincount(pixel_ids, minlength=npix)
     nz = np.flatnonzero(counts)
     c_nz = counts[nz]
@@ -242,9 +204,13 @@ def compact_raytracing_args(rt: RayTracingArgs, predictor,
                           seg_starts[pix_of_slot] + slot_in_pix, 0)
     red_weights = np.where(valid_slot[None], W[:, red_gather], 0.0)
     red_group_ids = np.repeat(nz, ng)
-    # pad group count to a multiple of 8 (sublane-friendly scatter rows)
-    g_tot = red_group_ids.size
-    g_pad = (g_tot + 7) // 8 * 8 - g_tot
+    return red_gather, red_weights, red_group_ids
+
+
+def _pad_grouped(red_gather, red_weights, red_group_ids, n_groups, npix, G):
+    """Pad a block's grouped layout to exactly n_groups groups."""
+    g_pad = n_groups - red_group_ids.size
+    assert g_pad >= 0
     if g_pad:
         red_gather = np.concatenate(
             [red_gather, np.zeros(g_pad * G, np.int64)])
@@ -253,24 +219,121 @@ def compact_raytracing_args(rt: RayTracingArgs, predictor,
                                    red_weights.dtype)], axis=1)
         red_group_ids = np.concatenate(
             [red_group_ids, np.full(g_pad, npix, np.int64)])
+    return red_gather, red_weights, red_group_ids
 
-    return CompactRayArgs(
-        coords=jnp.asarray(coords_c, jnp.float32),
-        Omega=Omega_c,
-        weights=jnp.asarray(W, jnp.float32),
+
+def compact_raytracing_args(rt: RayTracingArgs, predictor, tile=None,
+                            mesh=None, shards=None,
+                            shard_axis='ray') -> CompactRayArgs:
+    """Gather the in-domain subset of a RayTracingArgs (host-side, once).
+
+    predictor supplies rmin/rmax/z_width; J/g/dtau/Sigma fold into a
+    single per-sample weight per Stokes component. The sample count is
+    padded to the fused kernel's tile size so both pipelines accept the
+    result.
+
+    mesh + shard_axis (or an explicit shard count) produce the
+    SAMPLE-PARALLEL layout: the pixel-sorted in-domain samples are split
+    into equal contiguous blocks, each padded to the tile size with its
+    own block-local grouped-reduction tables, and the prediction runs
+    under jax.shard_map with each device owning one block (the
+    multi-chip scaling semantics of the reference's pmap hot loop,
+    optimization.py:209-216 — but over samples, which is where this
+    rebuild's FLOPs live). Shards are static host-side layout; the same
+    CompactRayArgs runs single-device too (shard_map over a 1-sized
+    axis is the identity mesh case).
+    """
+    if tile is None:
+        from bhnerf_tpu.ops import fused as fused_lib
+        tile = fused_lib.TILE_N
+    if shards is None:
+        shards = (mesh.shape.get(shard_axis, 1) if mesh is not None else 1)
+    if shards > 1 and mesh is None:
+        raise ValueError('sample-parallel layout (shards > 1) needs the '
+                         'mesh that shard_map will run over')
+    from bhnerf_tpu import emission as emission_lib
+    coords = np.asarray(rt.coords)          # (3, na, nb, ngeo)
+    na, nb, ngeo = coords.shape[1:]
+    domain = np.asarray(emission_lib.domain_mask(
+        coords, predictor.rmin, predictor.rmax, predictor.z_width))
+
+    flat_idx_all = np.flatnonzero(domain.reshape(-1))
+    G = _REDUCE_G
+    npix = na * nb
+    w_all = (np.asarray(rt.g) ** 2 * np.asarray(rt.dtau)
+             * np.asarray(rt.Sigma)).reshape(-1)[flat_idx_all]
+    J = rt.J
+    # ndim (not isscalar): a scalar J that passed through a pytree op
+    # arrives as a 0-d array
+    polarized = np.ndim(J) > 0
+    if polarized:
+        W_all = (np.asarray(J).reshape(np.shape(J)[0], -1)[:, flat_idx_all]
+                 * w_all)
+    else:
+        W_all = (w_all * float(np.asarray(J)))[None]
+
+    # contiguous equal blocks of the pixel-sorted sample list — pixel
+    # segments stay (mostly) shard-local
+    blocks = np.array_split(np.arange(flat_idx_all.size), shards)
+    local_n = max((len(b) + tile - 1) // tile * tile for b in blocks)
+    # common per-block group count (multiple of 8 for sublane-friendly
+    # scatter rows), computed after building each block's layout
+    layouts = []
+    for b in blocks:
+        pix_b = flat_idx_all[b] // ngeo
+        layouts.append(_grouped_layout(pix_b, W_all[:, b], npix, G))
+    n_groups = max(l[2].size for l in layouts)
+    n_groups = (n_groups + 7) // 8 * 8
+
+    Omega = rt.Omega
+    omega_flat = (None if jnp.ndim(Omega) == 0
+                  else np.asarray(Omega).reshape(-1))
+    tg_flat = np.asarray(rt.t_geos_rel).reshape(-1)
+    coords_flat = coords.reshape(3, -1)
+
+    cols = dict(coords=[], Omega=[], weights=[], tg=[], pix=[],
+                red_gather=[], red_weights=[], red_group_ids=[])
+    for b, lay in zip(blocks, layouts):
+        idx = flat_idx_all[b]
+        pad = local_n - len(b)
+
+        def padded(x, fill=0.0):
+            return np.concatenate(
+                [x, np.full((*x.shape[:-1], pad), fill, x.dtype)], axis=-1)
+
+        cols['coords'].append(padded(coords_flat[:, idx]))
+        if omega_flat is not None:
+            cols['Omega'].append(padded(omega_flat[idx]))
+        cols['weights'].append(padded(W_all[:, b]))
         # padding gets a far-future-invalid time so it never activates
-        t_geos_rel=jnp.asarray(gather(np.asarray(rt.t_geos_rel),
-                                      fill=-1e30), jnp.float32),
-        pixel_ids=jnp.asarray(pix, jnp.int32),
+        cols['tg'].append(padded(tg_flat[idx], fill=-1e30))
+        cols['pix'].append(padded((idx // ngeo).astype(np.int64),
+                                  fill=npix))
+        rg, rw, rgid = _pad_grouped(*lay, n_groups, npix, G)
+        cols['red_gather'].append(rg)
+        cols['red_weights'].append(rw)
+        cols['red_group_ids'].append(rgid)
+
+    cat = lambda xs: np.concatenate(xs, axis=-1)
+    return CompactRayArgs(
+        coords=jnp.asarray(cat(cols['coords']), jnp.float32),
+        Omega=(Omega if omega_flat is None
+               else jnp.asarray(cat(cols['Omega']), jnp.float32)),
+        weights=jnp.asarray(cat(cols['weights']), jnp.float32),
+        t_geos_rel=jnp.asarray(cat(cols['tg']), jnp.float32),
+        pixel_ids=jnp.asarray(cat(cols['pix']), jnp.int32),
         t_injection=rt.t_injection,
-        red_gather=jnp.asarray(red_gather, jnp.int32),
-        red_weights=jnp.asarray(red_weights, jnp.float32),
-        red_group_ids=jnp.asarray(red_group_ids, jnp.int32),
+        red_gather=jnp.asarray(cat(cols['red_gather']), jnp.int32),
+        red_weights=jnp.asarray(cat(cols['red_weights']), jnp.float32),
+        red_group_ids=jnp.asarray(cat(cols['red_group_ids']), jnp.int32),
         image_shape=(na, nb),
         polarized=polarized,
         t_start_obs=rt.t_start_obs,
         t_to_M=rt.t_to_M,
         t_units=rt.t_units,
+        num_shards=int(shards),
+        mesh=mesh if shards > 1 else None,
+        shard_axis=shard_axis,
     )
 
 
