@@ -70,6 +70,90 @@ def rand_indices(rng, nt, batch, n_steps):
             for _ in range(n_steps + 1)]
 
 
+def synthetic_polarized_rt(num, ngeo, fov, predictor, seed=0):
+    """ALMA-flagship-SHAPED ray constants without the f64 geodesic trace.
+
+    Training-step cost depends on shapes and the in-domain fraction, not
+    on the physical values; sampling coords uniformly in the fov ball
+    reproduces the production compaction ratio (~20%) at 128x128x100
+    with a 3-Stokes J, so the polarized lightcurve throughput measured
+    here tracks the real `fit_alma_lp_apr11_sgra_flare` workload
+    (reference scripts/Fit_ALMA_LP_Apr11_SgrA_Flare.yaml: 128x128 rays,
+    Stokes I/Q/U, lc loss) round-over-round without a ~10-minute
+    geodesic precompute inside the bench.
+    """
+    from bhnerf_tpu.train.step import RayTracingArgs
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    shape = (num, num, ngeo)
+    coords = rng.uniform(-fov / 2, fov / 2,
+                         size=(3, *shape)).astype(np.float32)
+    J = rng.uniform(0.2, 1.0, size=(3, *shape)).astype(np.float32)
+    pos = lambda: rng.uniform(0.5, 1.0, size=shape).astype(np.float32)
+    return RayTracingArgs(
+        coords=jnp.asarray(coords), Omega=jnp.asarray(0.05, jnp.float32),
+        J=jnp.asarray(J), g=jnp.asarray(pos()), dtau=jnp.asarray(pos()),
+        Sigma=jnp.asarray(pos()),
+        t_geos_rel=jnp.asarray(
+            rng.uniform(900.0, 1100.0, size=shape).astype(np.float32)),
+        t_injection=jnp.zeros((), jnp.float32),
+        t_start_obs=0.0, t_to_M=500.0, t_units=None)
+
+
+def bench_alma_shape(predictor_base, mark, num_variants=10, chunk=100):
+    """Polarized flagship workload: 128x128x100 rays, 3 Stokes, lc loss,
+    sub-pixel ensemble riding the scan path (in-scan variant draw)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from bhnerf_tpu.train import TrainState, make_optimizer
+    from bhnerf_tpu.train.step import (compact_ensemble_args,
+                                       make_scan_step, stack_ensemble)
+
+    num, ngeo, fov, nt, batch = 128, 100, 16.0, 64, 6
+    predictor = dataclasses.replace(predictor_base, rmin=3.0)
+    rt_list = [synthetic_polarized_rt(num, ngeo, fov, predictor, seed=s)
+               for s in range(num_variants)]
+    crt_list = compact_ensemble_args(rt_list, predictor)
+    n_eff = crt_list[0].coords.shape[-1]
+    stacked = stack_ensemble(crt_list)
+
+    rng = np.random.default_rng(1)
+    target = jnp.asarray(rng.random((nt, 3), dtype=np.float32))
+    sigma = jnp.ones_like(target)
+    offset = jnp.zeros_like(target)
+    t_all = jnp.asarray(np.linspace(0.0, 1.0, nt, dtype=np.float32))
+
+    scan_fn = make_scan_step(predictor=predictor, kind='image',
+                             dtype='lc', fused=True, batchsize=batch,
+                             chunk=chunk, num_variants=num_variants)
+    state = TrainState.create(predictor.init_params(seed=0),
+                              make_optimizer(50000))
+    state, losses = scan_fn(state, target, sigma, offset, t_all,
+                            jax.random.PRNGKey(0), stacked, 1.0)
+    jax.block_until_ready(losses)
+    n_chunks = max(600 // chunk, 1)
+    t0 = time.perf_counter()
+    for i in range(n_chunks):
+        state, losses = scan_fn(state, target, sigma, offset, t_all,
+                                jax.random.PRNGKey(i + 1), stacked, 1.0)
+    jax.block_until_ready(losses)
+    steps_per_sec = n_chunks * chunk / (time.perf_counter() - t0)
+    mark(f'alma-shape ensemble({num_variants}) path: '
+         f'{steps_per_sec:.2f} steps/s')
+    return {
+        'alma_steps_per_sec': round(steps_per_sec, 2),
+        'alma_ray_samples_per_sec': round(
+            steps_per_sec * batch * num * num * ngeo),
+        'alma_mlp_samples_per_sec': round(steps_per_sec * batch * n_eff),
+        'alma_num_variants': num_variants,
+        'alma_shape': [num, num, ngeo, 3],
+    }
+
+
 def main():
     import dataclasses
 
@@ -187,10 +271,19 @@ def main():
     scan_steps_per_sec = (n_chunks * scan_chunk
                           / (time.perf_counter() - t0))
 
+    # polarized flagship shape (ALMA 128x128, 3-Stokes, lc loss) with a
+    # 10-variant sub-pixel ensemble riding the scan path
+    mark(f'scan path: {scan_steps_per_sec:.2f} steps/s; compiling '
+         'alma-shape ensemble step')
+    try:
+        alma_keys = bench_alma_shape(predictor, mark)
+    except Exception as e:  # pragma: no cover - hardware dependent
+        mark(f'alma-shape bench unavailable ({type(e).__name__}: {e})')
+        alma_keys = {}
+
     # measured baseline: dense pure-XLA path, reference semantics (every
     # ray sample through the MLP, stock XLA fusion, f32)
-    mark(f'scan path: {scan_steps_per_sec:.2f} steps/s; compiling dense '
-         'XLA baseline')
+    mark('compiling dense XLA baseline')
     base_pred = dataclasses.replace(predictor, compute_dtype='float32')
     base_state = TrainState.create(base_pred.init_params(seed=0),
                                    make_optimizer(50000))
@@ -224,6 +317,7 @@ def main():
         'peak_tflops': peak / 1e12 if peak else None,
         'chip': chip,
         'compute_dtype': compute_dtype,
+        **alma_keys,
     }))
     print(f'# steps/sec: {best:.2f} (per-dispatch {steps_per_sec:.2f}, '
           f'dense XLA baseline {base_steps_per_sec:.2f})  backend: '

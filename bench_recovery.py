@@ -1,17 +1,20 @@
 """End-to-end recovery benchmark: the README / BASELINE.md north star.
 
-Runs the Tutorial-3 production workload (64x64 rays x ngeo=100, 64
-frames, 1000 iterations, domain compaction + fused Pallas kernel) on the
-real chip and prints ONE JSON line:
+Default mode runs the Tutorial-3 image-plane workload (64x64 rays x
+ngeo=100, 64 frames, 1000 iterations, domain compaction + fused Pallas
+kernel); `--eht` runs the BASELINE.md north-star problem instead —
+recover the Tutorial-4 hotspot FROM AN ngEHT OBSERVATION (thermal-noise
+visibility synthesis -> complex-visibility chi^2 loss, reference
+Tutorial4 / network.py:537-559). Both print ONE JSON line:
 
-  {"metric": "time_to_recover", "wall_s": ..., "psnr_3d": ...,
-   "lc_err_pct": ...}
+  {"metric": ..., "wall_s": ..., "psnr_3d": ..., "lc_err_pct": ...}
 
 wall_s is training time only (geodesic precompute + compiles excluded —
 both are one-time, cached costs); psnr_3d is the recovered-vs-true 3D
 volume PSNR on a 64^3 grid; lc_err_pct is the mean absolute lightcurve
 error of the recovered movie in percent of the mean true flux
-(BASELINE.md target: < 1%).
+(BASELINE.md target for --eht: < 10 min / < 1%). Results are also
+appended to RECOVERY.json (mode-keyed) as a per-round artifact.
 """
 import json
 import os
@@ -23,7 +26,22 @@ os.environ['JAX_PLATFORMS'] = ''
 import numpy as np
 
 
-def main(num_iters=1000, small=False):
+def record(result):
+    """Append the result into RECOVERY.json next to this script."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        'RECOVERY.json')
+    blob = {}
+    if os.path.exists(path):
+        try:
+            blob = json.loads(open(path).read())
+        except Exception:
+            blob = {}
+    blob[result['metric']] = result
+    with open(path, 'w') as f:
+        json.dump(blob, f, indent=1)
+
+
+def main(num_iters=1000, small=False, eht=False):
     import jax
 
     from bhnerf_tpu.utils import compilation_cache_dir
@@ -65,7 +83,11 @@ def main(num_iters=1000, small=False):
     hotspot = emission.generate_hotspot(
         resolution=(64, 64, 64), rot_axis=[0, 0, 1], rot_angle=0.0,
         orbit_radius=1.1 * r_isco, std=0.7, r_isco=r_isco, fov=fov_M)
-    t_frames = units.Quantity(np.linspace(0.0, 1.0, nt), 'hr')
+    # --eht frames sit on the ngEHT scan window [4, 15.5] UT (reference
+    # Tutorial4); image mode keeps the 1-hour Tutorial-3 movie
+    t_frames = units.Quantity(
+        np.linspace(4.0, 15.5, nt).astype(np.float32) if eht
+        else np.linspace(0.0, 1.0, nt), 'hr')
     t_injection = -float(geos.r_o + fov_M / 4)
     mark('rendering ground-truth movie')
     movie = np.asarray(emission.image_plane_dynamics(
@@ -75,8 +97,25 @@ def main(num_iters=1000, small=False):
                               z_width=2.0, compute_dtype=compute_dtype)
     rt = raytracing_args(geos, Omega, t_injection, t_frames[0])
     crt = compact_raytracing_args(rt, predictor)
-    train_step = TrainStep.image(t_frames, movie, predictor, dtype='full',
-                                 fused=True)
+    if eht:
+        # north star (BASELINE.md): recover from an ngEHT observation —
+        # thermal-noise visibility synthesis + complex-vis chi^2 loss
+        from bhnerf_tpu import constants as consts, observation
+        mark('synthesizing ngEHT observation')
+        array = observation.load_txt(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), 'eht_arrays',
+            'ngEHT.txt'))
+        obs_empty = observation.empty_eht_obs(array, nt=nt, tint=30.0)
+        fov_rad = float(fov_M * consts.GM_c2(consts.sgra_mass).value
+                        / consts.sgra_distance.to('m').value)
+        obs = observation.observe_same(movie, np.asarray(t_frames.value),
+                                       fov_rad / num, obs_empty,
+                                       thermal_noise=True, seed=0)
+        train_step = TrainStep.eht(t_frames, obs, fov_rad, num, predictor,
+                                   dtype='vis', fused=True)
+    else:
+        train_step = TrainStep.image(t_frames, movie, predictor,
+                                     dtype='full', fused=True)
     optimizer = Optimizer({'num_iters': num_iters, 'lr_init': 1e-3,
                            'lr_final': 1e-5}, predictor, crt,
                           checkpoint_dir='')
@@ -126,21 +165,29 @@ def main(num_iters=1000, small=False):
     lc_err_pct = float(100.0 * np.mean(np.abs(lc_rec - lc_true))
                        / np.mean(lc_true))
 
-    print(json.dumps({
-        'metric': 'time_to_recover',
+    result = {
+        'metric': 'time_to_recover_eht' if eht else 'time_to_recover',
         'wall_s': round(wall_s, 2),
         'psnr_3d': round(psnr_3d, 2),
         'lc_err_pct': round(lc_err_pct, 4),
         'num_iters': num_iters,
         'compute_dtype': compute_dtype,
         'chip': jax.devices()[0].device_kind,
-    }))
+    }
+    record(result)
+    print(json.dumps(result))
 
 
 if __name__ == '__main__':
     import argparse
     p = argparse.ArgumentParser()
-    p.add_argument('--num-iters', type=int, default=1000)
+    p.add_argument('--num-iters', type=int, default=None,
+                   help='default: 1000 (image mode) / 5000 (--eht, the '
+                        'reference Tutorial-4 iteration count)')
     p.add_argument('--small', action='store_true')
+    p.add_argument('--eht', action='store_true',
+                   help='recover from an ngEHT visibility observation '
+                        '(the BASELINE.md north-star problem)')
     args = p.parse_args()
-    main(args.num_iters, args.small)
+    n = args.num_iters if args.num_iters else (5000 if args.eht else 1000)
+    main(n, args.small, eht=args.eht)

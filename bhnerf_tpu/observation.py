@@ -53,25 +53,58 @@ SGRA_RF = 226191789062.5         # Hz
 
 @dataclasses.dataclass
 class ArrayConfig:
-    """Station table: names, ECEF positions [m], SEFDs [Jy]."""
+    """Station table: names, ECEF positions [m], SEFDs [Jy], and the
+    optional polarimetric columns of the ehtim format (field-rotation
+    coefficients + fixed D-terms)."""
 
     names: list
     xyz: np.ndarray    # (nstations, 3)
     sefd: np.ndarray   # (nstations,)
+    # field-rotation model phi_fr = fr_par * parallactic + fr_elev *
+    # elevation + fr_off (ehtim FR_PAR/FR_ELEV/FR_OFFSET[deg] columns)
+    fr_par: np.ndarray = None
+    fr_elev: np.ndarray = None
+    fr_off: np.ndarray = None      # radians (table column is degrees)
+    # fixed station D-terms from the table (DR/DL columns)
+    d_R: np.ndarray = None
+    d_L: np.ndarray = None
+
+    def __post_init__(self):
+        ns = len(self.names)
+        z = lambda v: np.zeros(ns) if v is None else np.asarray(v)
+        self.fr_par = z(self.fr_par)
+        self.fr_elev = z(self.fr_elev)
+        self.fr_off = z(self.fr_off)
+        self.d_R = (np.zeros(ns, complex) if self.d_R is None
+                    else np.asarray(self.d_R, complex))
+        self.d_L = (np.zeros(ns, complex) if self.d_L is None
+                    else np.asarray(self.d_L, complex))
 
     @classmethod
     def load_txt(cls, path):
-        """Parse an ehtim-format station table (eht_arrays/*.txt)."""
+        """Parse an ehtim-format station table (eht_arrays/*.txt):
+        NAME X Y Z SEFDR [SEFDL FR_PAR FR_ELEV FR_OFF[deg]
+        DR_RE DR_IM DL_RE DL_IM]."""
         names, xyz, sefd = [], [], []
+        fr_par, fr_elev, fr_off, d_R, d_L = [], [], [], [], []
         for line in Path(path).read_text().splitlines():
             line = line.strip()
             if not line or line.startswith('#'):
                 continue
-            parts = line.split()
-            names.append(parts[0])
-            xyz.append([float(parts[1]), float(parts[2]), float(parts[3])])
-            sefd.append(float(parts[4]))
-        return cls(names, np.asarray(xyz), np.asarray(sefd))
+            p = line.split()
+            names.append(p[0])
+            xyz.append([float(p[1]), float(p[2]), float(p[3])])
+            sefd.append(float(p[4]))
+            get = lambda i, d=0.0: float(p[i]) if len(p) > i else d
+            fr_par.append(get(6))
+            fr_elev.append(get(7))
+            fr_off.append(np.deg2rad(get(8)))
+            d_R.append(get(9) + 1j * get(10))
+            d_L.append(get(11) + 1j * get(12))
+        return cls(names, np.asarray(xyz), np.asarray(sefd),
+                   fr_par=np.asarray(fr_par), fr_elev=np.asarray(fr_elev),
+                   fr_off=np.asarray(fr_off), d_R=np.asarray(d_R),
+                   d_L=np.asarray(d_L))
 
     @property
     def nstations(self):
@@ -477,6 +510,41 @@ def empty_eht_obs(array, nt, tint, tstart=4.0, tstop=15.5, ra=SGRA_RA,
                        mjd=mjd, bw=bw, tint=tint)
 
 
+def station_angles(obs):
+    """Per-scan station elevation and parallactic angle (radians).
+
+    Returns (elev, par), each (nscan, nstations). Standard spherical
+    astronomy: local hour angle H = GMST - RA + longitude;
+    sin(el) = sin(lat) sin(dec) + cos(lat) cos(dec) cos(H);
+    tan(psi) = sin(H) / (tan(lat) cos(dec) - sin(dec) cos(H)).
+    The reference gets these from ehtim's Jones machinery when
+    frcal=False (observation.py:160-177 toggle surface).
+    """
+    xyz = obs.array.xyz
+    lon = np.arctan2(xyz[:, 1], xyz[:, 0])
+    lat = np.arctan2(xyz[:, 2], np.sqrt(xyz[:, 0]**2 + xyz[:, 1]**2))
+    dec = np.deg2rad(obs.dec)
+    gst = gmst_hours(obs.mjd, np.asarray(obs.times)) * 2 * np.pi / 24.0
+    ha = (gst - obs.ra * 2 * np.pi / 24.0)[:, None] + lon[None, :]
+    sin_el = (np.sin(lat) * np.sin(dec)
+              + np.cos(lat) * np.cos(dec) * np.cos(ha))
+    elev = np.arcsin(np.clip(sin_el, -1.0, 1.0))
+    par = np.arctan2(np.sin(ha),
+                     np.tan(lat) * np.cos(dec) - np.sin(dec) * np.cos(ha))
+    return elev, par
+
+
+def field_rotation_angles(obs):
+    """Station feed rotation phi_fr = fr_par * parallactic + fr_elev *
+    elevation + fr_off, (nscan, nstations) radians (the ehtim
+    FR_PAR/FR_ELEV/FR_OFFSET station-table model applied when
+    frcal=False)."""
+    elev, par = station_angles(obs)
+    arr = obs.array
+    return (arr.fr_par[None, :] * par + arr.fr_elev[None, :] * elev
+            + arr.fr_off[None, :])
+
+
 def gauss_markov_series(rng, times_hr, n_series, sigmat):
     """Stationary unit-variance AR(1)/Ornstein-Uhlenbeck draws over scans.
 
@@ -495,7 +563,9 @@ def gauss_markov_series(rng, times_hr, n_series, sigmat):
 
 
 def station_jones(obs, rng, station_noise=True, dterm_noise=False,
-                  sigmat=0.25, dterm_offset=0.05, phase_std=2 * np.pi):
+                  sigmat=0.25, dterm_offset=0.05, phase_std=2 * np.pi,
+                  ampcal=None, phasecal=None, stabilize_scan_amp=True,
+                  stabilize_scan_phase=True):
     """Per-scan, per-station Jones components (gains + D-terms).
 
     Models the reference's noise tier (observation.py:152-187):
@@ -511,21 +581,36 @@ def station_jones(obs, rng, station_noise=True, dterm_noise=False,
     * complex D-terms per feed, constant in time, std `dterm_offset`
       per real component (reference observation.py:166).
 
+    ampcal / phasecal expose the ehtim toggle surface independently
+    (reference observation.py:171-180): ampcal=True suppresses the
+    amplitude errors, phasecal=True the phase errors; both default to
+    `not station_noise`. stabilize_scan_amp/phase=False decorrelate the
+    wander between scans (i.i.d. draws; the scan is the finest time
+    granularity of this container, so "per-integration" variation means
+    per-scan here).
+
     Returns (g_R, g_L, d_R, d_L): gains (nscan, ns) complex and D-terms
     (ns,) complex.
     """
     ns = obs.array.nstations
+    ampcal = (not station_noise) if ampcal is None else ampcal
+    phasecal = (not station_noise) if phasecal is None else phasecal
     g_R = np.ones((obs.nscan, ns), complex)
     g_L = np.ones((obs.nscan, ns), complex)
-    if station_noise:
+    if not (ampcal and phasecal):
         off = np.array([GAIN_OFFSET.get(n, 0.1) for n in obs.array.names])
         gp = np.array([GAINP.get(n, 0.05) for n in obs.array.names])
         const_gain = 1.0 + off * rng.standard_normal(ns)
         for g in (g_R, g_L):
-            amp_w = gauss_markov_series(rng, obs.times, ns, sigmat)
-            ph_w = gauss_markov_series(rng, obs.times, ns, sigmat)
-            amp = np.abs(const_gain * (1.0 + gp * amp_w))
-            g *= amp * np.exp(1j * phase_std * ph_w)
+            amp_w = gauss_markov_series(
+                rng, obs.times, ns, sigmat if stabilize_scan_amp else 0.0)
+            ph_w = gauss_markov_series(
+                rng, obs.times, ns,
+                sigmat if stabilize_scan_phase else 0.0)
+            if not ampcal:
+                g *= np.abs(const_gain * (1.0 + gp * amp_w))
+            if not phasecal:
+                g *= np.exp(1j * phase_std * ph_w)
     d_R = np.zeros(ns, complex)
     d_L = np.zeros(ns, complex)
     if dterm_noise:
@@ -536,28 +621,47 @@ def station_jones(obs, rng, station_noise=True, dterm_noise=False,
     return g_R, g_L, d_R, d_L
 
 
-def apply_jones_corruption(vis, baselines, g_R, g_L, d_R, d_L):
-    """Corrupt Stokes visibilities with station Jones matrices.
-
-    vis: (nscan, nbl, nstokes<=4) complex Stokes [I, Q, U, V];
-    g_R/g_L: (nscan, ns); d_R/d_L: (ns,). Computes
-    rho' = J_i rho J_j^dagger in the circular basis with
-    J = diag(gR, gL) @ [[1, dR], [dL, 1]] (frcal=True: no field-rotation
-    term), then maps back to Stokes. Matches the reference's
-    jones=True/inv_jones=True path where only the uncalibrated effects
-    (gain errors, leakage) survive.
-    """
+def _stokes_to_circ(vis):
     nscan, nbl, nstokes = vis.shape
     z = np.zeros((nscan, nbl), complex)
     I = vis[..., 0]
     Q = vis[..., 1] if nstokes > 1 else z
     U = vis[..., 2] if nstokes > 2 else z
     V = vis[..., 3] if nstokes > 3 else z
+    return I + V, Q + 1j * U, Q - 1j * U, I - V  # RR, RL, LR, LL
 
-    RR, LL = I + V, I - V
-    RL, LR = Q + 1j * U, Q - 1j * U
 
+def _circ_to_stokes(RR, RL, LR, LL, nstokes):
+    out = np.stack([(RR + LL) / 2, (RL + LR) / 2,
+                    (RL - LR) / 2j, (RR - LL) / 2], axis=-1)
+    return out[..., :nstokes]
+
+
+def apply_jones_corruption(vis, baselines, g_R, g_L, d_R, d_L, phi=None):
+    """Corrupt Stokes visibilities with station Jones matrices.
+
+    vis: (nscan, nbl, nstokes<=4) complex Stokes [I, Q, U, V];
+    g_R/g_L: (nscan, ns); d_R/d_L: (ns,); phi: optional field-rotation
+    angles (nscan, ns) radians (frcal=False). Computes
+    rho' = J_i rho J_j^dagger in the circular basis with
+    J = diag(gR, gL) @ [[1, dR], [dL, 1]] @ diag(e^{-i phi}, e^{+i phi}),
+    then maps back to Stokes. Matches the reference's
+    jones=True/inv_jones=True path where only the uncalibrated effects
+    (gain errors, leakage, and — when frcal=False — field rotation)
+    survive.
+    """
+    nstokes = vis.shape[-1]
+    RR, RL, LR, LL = _stokes_to_circ(vis)
     i, j = baselines[:, 0], baselines[:, 1]
+
+    if phi is not None:
+        # F_i rho F_j^H with F = diag(e^{-i phi}, e^{+i phi})
+        pi, pj = phi[:, i], phi[:, j]
+        RR = RR * np.exp(1j * (pj - pi))
+        RL = RL * np.exp(-1j * (pi + pj))
+        LR = LR * np.exp(1j * (pi + pj))
+        LL = LL * np.exp(1j * (pi - pj))
+
     dRi, dLi = d_R[i], d_L[i]
     dRj_c, dLj_c = np.conj(d_R[j]), np.conj(d_L[j])
 
@@ -573,15 +677,61 @@ def apply_jones_corruption(vis, baselines, g_R, g_L, d_R, d_L):
     RLp = gRi * gLj_c * M12
     LRp = gLi * gRj_c * M21
     LLp = gLi * gLj_c * M22
+    return _circ_to_stokes(RRp, RLp, LRp, LLp, nstokes)
 
-    out = np.stack([(RRp + LLp) / 2, (RLp + LRp) / 2,
-                    (RLp - LRp) / 2j, (RRp - LLp) / 2], axis=-1)
-    return out[..., :nstokes]
+
+def apply_inverse_jones(vis, baselines, g_R=None, g_L=None, d_R=None,
+                        d_L=None, phi=None):
+    """Calibrate Stokes visibilities with KNOWN station Jones terms:
+    rho = J_i^{-1} rho' J_j^{-dagger} with J = G D F as in
+    apply_jones_corruption. Pass only the terms to undo (e.g. known
+    D-terms + field-rotation angles while leaving gain errors in) —
+    the ehtim inv_jones calibration step (reference
+    observation.py:183-185 jones=True/inv_jones=True).
+    """
+    vis = np.asarray(vis, complex)
+    nstokes = vis.shape[-1]
+    RR, RL, LR, LL = _stokes_to_circ(vis)
+    i, j = baselines[:, 0], baselines[:, 1]
+
+    if g_R is not None:
+        gRi, gLi = g_R[:, i], g_L[:, i]
+        gRj_c, gLj_c = np.conj(g_R[:, j]), np.conj(g_L[:, j])
+        RR = RR / (gRi * gRj_c)
+        RL = RL / (gRi * gLj_c)
+        LR = LR / (gLi * gRj_c)
+        LL = LL / (gLi * gLj_c)
+
+    if d_R is not None:
+        # D^{-1} = [[1, -dR], [-dL, 1]] / (1 - dR dL)
+        dRi, dLi = d_R[i], d_L[i]
+        dRj_c, dLj_c = np.conj(d_R[j]), np.conj(d_L[j])
+        det_i = 1.0 - dRi * dLi
+        det_j_c = np.conj(1.0 - d_R[j] * d_L[j])
+        M11 = RR - dRi * LR
+        M12 = RL - dRi * LL
+        M21 = LR - dLi * RR
+        M22 = LL - dLi * RL
+        # right factor (D_j^dagger)^{-1} = [[1, -dLj_c], [-dRj_c, 1]]/det
+        RR = (M11 - M12 * dRj_c) / (det_i * det_j_c)
+        RL = (M12 - M11 * dLj_c) / (det_i * det_j_c)
+        LR = (M21 - M22 * dRj_c) / (det_i * det_j_c)
+        LL = (M22 - M21 * dLj_c) / (det_i * det_j_c)
+
+    if phi is not None:
+        pi, pj = phi[:, i], phi[:, j]
+        RR = RR * np.exp(-1j * (pj - pi))
+        RL = RL * np.exp(1j * (pi + pj))
+        LR = LR * np.exp(-1j * (pi + pj))
+        LL = LL * np.exp(-1j * (pi - pj))
+    return _circ_to_stokes(RR, RL, LR, LL, nstokes)
 
 
 def observe_same(movie, times_hr, psize, obs, thermal_noise=True,
                  station_noise=False, dterm_noise=False, sigmat=0.25,
-                 seed=False, dterm_offset=0.05):
+                 seed=False, dterm_offset=0.05, ampcal=None, phasecal=None,
+                 frcal=True, dcal=None, stabilize_scan_amp=True,
+                 stabilize_scan_phase=True):
     """Observe a movie with the array: DFT sampling + noise corruption
     (reference observation.py:121-187 wrapping ehtim observe_same).
 
@@ -592,12 +742,23 @@ def observe_same(movie, times_hr, psize, obs, thermal_noise=True,
     station gains/phases (scan-stabilized, Gauss-Markov correlation time
     `sigmat` hours), and Jones D-term polarization leakage of std
     `dterm_offset` when dterm_noise=True.
+
+    The ehtim toggle surface (reference observation.py:160-180) is
+    exposed explicitly: ampcal / phasecal default to `not station_noise`
+    (False = apply the respective gain errors); dcal defaults to
+    `not dterm_noise` (False = apply leakage); frcal=False applies the
+    elevation/parallactic field-rotation Jones terms from the station
+    table (uncalibrated feed rotation — relevant for polarized-EHT
+    fidelity), which apply_inverse_jones can undo with the known
+    angles; stabilize_scan_amp/phase=False decorrelate the gain wander
+    between scans.
     """
     movie = np.asarray(movie)
     if movie.ndim == 3:
         movie = movie[:, None]
     nt_m, nstokes, ny, nx = movie.shape
     rng = np.random.default_rng(None if seed is False else seed)
+    dcal = (not dterm_noise) if dcal is None else dcal
 
     # scan -> nearest frame (ehtim movie sampling)
     frame_of_scan = obs.scan_frame_assignment(times_hr)
@@ -612,13 +773,19 @@ def observe_same(movie, times_hr, psize, obs, thermal_noise=True,
         frame = movie[frame_of_scan[s]].reshape(nstokes, -1)
         vis[s, val] = (A @ frame.T)
 
-    if station_noise or dterm_noise:
+    apply_gains = (station_noise or ampcal is False
+                   or phasecal is False)
+    apply_dterms = not dcal
+    if apply_gains or apply_dterms or not frcal:
         g_R, g_L, d_R, d_L = station_jones(
             obs, rng, station_noise=station_noise,
-            dterm_noise=dterm_noise, sigmat=sigmat,
-            dterm_offset=dterm_offset)
+            dterm_noise=apply_dterms, sigmat=sigmat,
+            dterm_offset=dterm_offset, ampcal=ampcal, phasecal=phasecal,
+            stabilize_scan_amp=stabilize_scan_amp,
+            stabilize_scan_phase=stabilize_scan_phase)
+        phi = None if frcal else field_rotation_angles(obs)
         vis = apply_jones_corruption(vis, obs.baselines, g_R, g_L,
-                                     d_R, d_L)
+                                     d_R, d_L, phi=phi)
 
     if thermal_noise:
         noise = (rng.standard_normal(vis.shape)

@@ -110,10 +110,24 @@ class Optimizer:
 
         rt_list = np.atleast_1d(raytracing_args)
         scannable = (scan_chunk and train_step.scan_meta is not None
-                     and train_step.num_losses == 1 and len(rt_list) == 1)
+                     and train_step.num_losses == 1)
+        if scannable and len(rt_list) > 1:
+            # sub-pixel-ray ensembles ride the scan path too: stack the
+            # variants and let the scan body draw one per step
+            try:
+                rt_scan = step_lib.stack_ensemble(list(rt_list))
+            except ValueError as e:
+                import warnings
+                warnings.warn(
+                    f'ensemble not scannable ({e}); falling back to the '
+                    f'per-step loop')
+                scannable = False
+        elif scannable:
+            rt_scan = rt_list[0]
         if scannable:
-            return self._run_scan(batchsize, train_step, rt_list[0],
-                                  scan_chunk, verbose)
+            return self._run_scan(batchsize, train_step, rt_scan,
+                                  scan_chunk, verbose,
+                                  num_variants=len(rt_list))
 
         iterator = range(self.init_step, self.final_step)
         if verbose:
@@ -136,7 +150,8 @@ class Optimizer:
         except KeyboardInterrupt:
             return
 
-    def _run_scan(self, batchsize, train_step, rt, scan_chunk, verbose):
+    def _run_scan(self, batchsize, train_step, rt, scan_chunk, verbose,
+                  num_variants=1):
         from tqdm.auto import tqdm
         args = train_step.args[0]
         # python float, not np.float64: a weak-typed scalar matches any
@@ -168,7 +183,7 @@ class Optimizer:
                             next_boundary(step) - step)
                 scan_fn = step_lib.make_scan_step(
                     batchsize=batchsize, chunk=int(chunk),
-                    **train_step.scan_meta)
+                    num_variants=num_variants, **train_step.scan_meta)
                 key, sub = jax.random.split(key)
                 self.state, losses = scan_fn(self.state, *args.device_args,
                                              sub, rt, scale)

@@ -223,8 +223,9 @@ def _pad_grouped(red_gather, red_weights, red_group_ids, n_groups, npix, G):
 
 
 def compact_raytracing_args(rt: RayTracingArgs, predictor, tile=None,
-                            mesh=None, shards=None,
-                            shard_axis='ray') -> CompactRayArgs:
+                            mesh=None, shards=None, shard_axis='ray',
+                            pad_local_n=None,
+                            pad_groups=None) -> CompactRayArgs:
     """Gather the in-domain subset of a RayTracingArgs (host-side, once).
 
     predictor supplies rmin/rmax/z_width; J/g/dtau/Sigma fold into a
@@ -242,6 +243,11 @@ def compact_raytracing_args(rt: RayTracingArgs, predictor, tile=None,
     rebuild's FLOPs live). Shards are static host-side layout; the same
     CompactRayArgs runs single-device too (shard_map over a 1-sized
     axis is the identity mesh case).
+
+    pad_local_n / pad_groups force minimum per-shard sample / group
+    counts so several sub-pixel-ray variants come out identically
+    shaped (compact_ensemble_args uses this to build stackable
+    ensembles for the scan-chunked training path).
     """
     if tile is None:
         from bhnerf_tpu.ops import fused as fused_lib
@@ -276,6 +282,8 @@ def compact_raytracing_args(rt: RayTracingArgs, predictor, tile=None,
     # segments stay (mostly) shard-local
     blocks = np.array_split(np.arange(flat_idx_all.size), shards)
     local_n = max((len(b) + tile - 1) // tile * tile for b in blocks)
+    if pad_local_n is not None:
+        local_n = max(local_n, int(pad_local_n))
     # common per-block group count (multiple of 8 for sublane-friendly
     # scatter rows), computed after building each block's layout
     layouts = []
@@ -284,6 +292,8 @@ def compact_raytracing_args(rt: RayTracingArgs, predictor, tile=None,
         layouts.append(_grouped_layout(pix_b, W_all[:, b], npix, G))
     n_groups = max(l[2].size for l in layouts)
     n_groups = (n_groups + 7) // 8 * 8
+    if pad_groups is not None:
+        n_groups = max(n_groups, int(pad_groups))
 
     Omega = rt.Omega
     omega_flat = (None if jnp.ndim(Omega) == 0
@@ -332,9 +342,54 @@ def compact_raytracing_args(rt: RayTracingArgs, predictor, tile=None,
         t_to_M=rt.t_to_M,
         t_units=rt.t_units,
         num_shards=int(shards),
-        mesh=mesh if shards > 1 else None,
+        mesh=mesh,
         shard_axis=shard_axis,
     )
+
+
+def compact_ensemble_args(rt_list, predictor, **kwargs):
+    """Domain-compact a sub-pixel-ray ensemble into identically-shaped
+    CompactRayArgs (reference alma.py:65-81 builds N randomized
+    geodesic tables; optimization.py:167-169 samples one per grad step).
+
+    Different sub-pixel offsets give different in-domain sample counts;
+    every variant is padded to the ensemble maximum so the list can be
+    stacked (stack_ensemble) and the per-step variant choice can happen
+    INSIDE the scan-chunked training dispatch. Returns a list.
+    """
+    built = [compact_raytracing_args(rt, predictor, **kwargs)
+             for rt in np.atleast_1d(rt_list)]
+    shapes = {(c.coords.shape[-1], c.red_group_ids.shape[-1])
+              for c in built}
+    if len(shapes) > 1:
+        ln = max(c.coords.shape[-1] // c.num_shards for c in built)
+        ng = max(c.red_group_ids.shape[-1] // c.num_shards for c in built)
+        built = [compact_raytracing_args(rt, predictor, pad_local_n=ln,
+                                         pad_groups=ng, **kwargs)
+                 for rt in np.atleast_1d(rt_list)]
+    return built
+
+
+def stack_ensemble(rt_list):
+    """Stack identically-shaped ray-tracing args (dense or compact) into
+    one pytree with a leading variant axis on every leaf.
+
+    The scan-chunked training step draws a uniform variant per step
+    inside the scan (the reference's per-step np.random.choice over the
+    ensemble, optimization.py:167-169). Raises if leaf shapes differ —
+    use compact_ensemble_args to build uniformly-padded compact
+    variants.
+    """
+    rt_list = list(np.atleast_1d(rt_list))
+    if len(rt_list) == 1:
+        return rt_list[0]
+    try:
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *rt_list)
+    except (ValueError, TypeError) as e:
+        raise ValueError(
+            f'ensemble variants are not uniformly shaped ({e}); build '
+            f'compact ensembles with compact_ensemble_args') from e
 
 
 # ---------------------------------------------------------------------------
@@ -353,7 +408,7 @@ def _reduce_to_images(em, crt: CompactRayArgs):
     scatter."""
     npix = crt.npix
 
-    def direct(em):
+    if crt.red_gather is None:
         def per_frame(e):
             contrib = e[None, :] * crt.weights          # (nstokes, N)
             return jax.vmap(lambda c: jax.ops.segment_sum(
@@ -361,34 +416,48 @@ def _reduce_to_images(em, crt: CompactRayArgs):
                 indices_are_sorted=True)[:npix])(contrib)
         return jax.vmap(per_frame)(em)
 
-    if crt.red_gather is None:
-        return direct(em)
+    # all arrays pass as explicit arguments (a custom_vjp closing over
+    # them would leak tracers under shard_map)
+    return _grouped_reduce(npix, em, crt.red_gather, crt.red_weights,
+                           crt.red_group_ids, crt.pixel_ids, crt.weights)
 
-    def grouped(em):
-        F = em.shape[0]
-        emg = jnp.take(em, crt.red_gather, axis=1)      # (F, N_red)
-        contrib = emg[:, None, :] * crt.red_weights     # (F, ns, N_red)
-        gsum = contrib.reshape(F, crt.num_stokes, -1, _REDUCE_G).sum(-1)
-        return jax.vmap(jax.vmap(lambda g: jax.ops.segment_sum(
-            g, crt.red_group_ids, num_segments=npix + 1,
-            indices_are_sorted=True)[:npix]))(gsum)
 
-    @jax.custom_vjp
-    def reduce(em):
-        return grouped(em)
+def _grouped_reduce_impl(npix, em, red_gather, red_weights, red_group_ids):
+    F, ns = em.shape[0], red_weights.shape[0]
+    emg = jnp.take(em, red_gather, axis=1)          # (F, N_red)
+    contrib = emg[:, None, :] * red_weights         # (F, ns, N_red)
+    gsum = contrib.reshape(F, ns, -1, _REDUCE_G).sum(-1)
+    return jax.vmap(jax.vmap(lambda g: jax.ops.segment_sum(
+        g, red_group_ids, num_segments=npix + 1,
+        indices_are_sorted=True)[:npix]))(gsum)
 
-    def reduce_fwd(em):
-        return grouped(em), None
 
-    def reduce_bwd(_, d_img):
-        dpad = jnp.pad(d_img, ((0, 0), (0, 0), (0, 1)))  # padding pixel
-        d_em = jnp.einsum('fsn,sn->fn',
-                          jnp.take(dpad, crt.pixel_ids, axis=2),
-                          crt.weights)
-        return (d_em,)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _grouped_reduce(npix, em, red_gather, red_weights, red_group_ids,
+                    pixel_ids, weights):
+    return _grouped_reduce_impl(npix, em, red_gather, red_weights,
+                                red_group_ids)
 
-    reduce.defvjp(reduce_fwd, reduce_bwd)
-    return reduce(em)
+
+def _gr_fwd(npix, em, red_gather, red_weights, red_group_ids, pixel_ids,
+            weights):
+    out = _grouped_reduce_impl(npix, em, red_gather, red_weights,
+                               red_group_ids)
+    return out, (red_gather, red_weights, red_group_ids, pixel_ids,
+                 weights)
+
+
+def _gr_bwd(npix, res, d_img):
+    red_gather, red_weights, red_group_ids, pixel_ids, weights = res
+    dpad = jnp.pad(d_img, ((0, 0), (0, 0), (0, 1)))  # padding pixel
+    d_em = jnp.einsum('fsn,sn->fn', jnp.take(dpad, pixel_ids, axis=2),
+                      weights)
+    f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
+    return (d_em, f0(red_gather), jnp.zeros_like(red_weights),
+            f0(red_group_ids), f0(pixel_ids), jnp.zeros_like(weights))
+
+
+_grouped_reduce.defvjp(_gr_fwd, _gr_bwd)
 
 
 def predict_emission(params, predictor, t_frames_M, rt: RayTracingArgs):
@@ -401,10 +470,9 @@ def predict_emission(params, predictor, t_frames_M, rt: RayTracingArgs):
     return predictor.emission_at(params, warped, valid, rt.coords)
 
 
-def _compact_prediction(params, predictor, t_frames_M, crt: CompactRayArgs,
-                        fused=False):
-    """Image frames from domain-compacted samples: per-sample emission,
-    then a sorted segment-sum over pixel ids."""
+def _compact_emission(params, predictor, t_frames_M, crt: CompactRayArgs,
+                      fused):
+    """Per-sample emission over compact samples: (F, n) for flat frames."""
     from bhnerf_tpu import emission as emission_lib
     n = crt.coords.shape[-1]
     t_shape = jnp.shape(t_frames_M)
@@ -432,12 +500,78 @@ def _compact_prediction(params, predictor, t_frames_M, crt: CompactRayArgs,
         # domain mask is pre-applied by compaction (and re-masks padding
         # rows whose coords are 0); only t-validity is dynamic here
         emission = predictor.emission_at(params, warped, valid, crt.coords)
+    return emission.reshape(-1, n)
 
-    images = _reduce_to_images(emission.reshape(-1, n), crt)
+
+def _shape_images(images, t_shape, crt):
     images = images.reshape(*t_shape, crt.num_stokes, *crt.image_shape)
     if not crt.polarized:
         images = images[..., 0, :, :]
     return images
+
+
+def _sharded_compact_prediction(params, predictor, t_frames_M,
+                                crt: CompactRayArgs, fused):
+    """Sample-parallel compact prediction under jax.shard_map.
+
+    Each device of the `crt.shard_axis` mesh axis owns one contiguous
+    sample block (built by compact_raytracing_args(mesh=...)): it runs
+    the full warp+posenc+MLP (fused Pallas kernel per device) and its
+    block-local grouped reduction, and the per-shard partial images are
+    merged with ONE psum of (F, nstokes, npix) — no all-gather of any
+    sample-sized tensor. This is the scaling semantics the reference got
+    from pmap frame-DP (optimization.py:209-216), applied to the axis
+    that carries this rebuild's FLOPs. Gradients flow through shard_map:
+    the replicated params' cotangents are psum-merged by the transpose.
+    """
+    import dataclasses as dc
+    from jax.sharding import PartitionSpec as P
+
+    mesh, ax = crt.mesh, crt.shard_axis
+    t_flat = jnp.reshape(jnp.asarray(t_frames_M), (-1,))
+    t_shape = jnp.shape(t_frames_M)
+
+    leaves = dict(coords=crt.coords, weights=crt.weights,
+                  t_geos_rel=crt.t_geos_rel, pixel_ids=crt.pixel_ids)
+    if crt.red_gather is not None:
+        leaves.update(red_gather=crt.red_gather,
+                      red_weights=crt.red_weights,
+                      red_group_ids=crt.red_group_ids)
+    if jnp.ndim(crt.Omega) > 0:
+        leaves['Omega'] = crt.Omega
+
+    def spec_of(x):
+        return P(*([None] * (jnp.ndim(x) - 1) + [ax]))
+
+    specs = {k: spec_of(v) for k, v in leaves.items()}
+
+    def local_fn(params, t_flat, t_inj, omega_rep, lv):
+        local = dc.replace(crt, t_injection=t_inj, num_shards=1,
+                           mesh=None, Omega=lv.get('Omega', omega_rep),
+                           **{k: v for k, v in lv.items() if k != 'Omega'})
+        em = _compact_emission(params, predictor, t_flat, local, fused)
+        return jax.lax.psum(_reduce_to_images(em, local), ax)
+
+    omega_rep = crt.Omega if jnp.ndim(crt.Omega) == 0 else 0.0
+    fn = jax.shard_map(local_fn, mesh=mesh,
+                       in_specs=(P(), P(), P(), P(), specs),
+                       out_specs=P(), check_vma=False)
+    images = fn(params, t_flat, crt.t_injection, omega_rep, leaves)
+    return _shape_images(images, t_shape, crt)
+
+
+def _compact_prediction(params, predictor, t_frames_M, crt: CompactRayArgs,
+                        fused=False):
+    """Image frames from domain-compacted samples: per-sample emission,
+    then a sorted segment-sum over pixel ids (sample-parallel under
+    shard_map when the args carry a mesh)."""
+    if crt.mesh is not None:
+        return _sharded_compact_prediction(params, predictor, t_frames_M,
+                                           crt, fused)
+    t_shape = jnp.shape(t_frames_M)
+    emission = _compact_emission(params, predictor, t_frames_M, crt, fused)
+    images = _reduce_to_images(emission, crt)
+    return _shape_images(images, t_shape, crt)
 
 
 def image_plane_prediction(params, predictor, t_frames_M,
@@ -649,7 +783,7 @@ def make_step_fns(predictor, kind='image', dtype='full', donate_state=False,
 @functools.lru_cache(maxsize=64)
 def make_scan_step(predictor, kind='image', dtype='full', fused=False,
                    tv_scale=0.0, tv_fov=None, tv_resolution=32,
-                   batchsize=6, chunk=100):
+                   batchsize=6, chunk=100, num_variants=1):
     """One dispatch = `chunk` training steps via lax.scan.
 
     Per-step frame batches are sampled INSIDE the scan with jax PRNG
@@ -658,9 +792,17 @@ def make_scan_step(predictor, kind='image', dtype='full', fused=False,
     dispatch round-trip entirely: at fused-kernel speeds the Python
     loop + tunnel latency is ~35% of wall time even with gather-in-jit.
 
+    num_variants > 1: `rt` is a stack_ensemble'd sub-pixel-ray ensemble
+    (leading variant axis on every leaf); each step draws ONE uniform
+    variant in-scan — the reference's stochastic ensemble semantics
+    (optimization.py:167-169) without leaving the fast path. The
+    per-step PRNG key is split (batch, variant) unconditionally, so a
+    single-variant run and an ensemble of identical variants walk the
+    same frame-batch chain.
+
     Returns jit fn (state, target, sigma, third, t_frames, key, rt,
-    scale) -> (state, losses (chunk,)). Single-loss, single-rt only;
-    Optimizer.run falls back to the per-step loop otherwise.
+    scale) -> (state, losses (chunk,)). Single-loss only; Optimizer.run
+    falls back to the per-step loop otherwise.
     """
     loss_fn = loss_fn_image if kind == 'image' else loss_fn_eht
 
@@ -682,11 +824,18 @@ def make_scan_step(predictor, kind='image', dtype='full', fused=False,
         nt = target.shape[0]
 
         def body(state, k):
-            indices = jax.random.choice(k, nt, (batchsize,), replace=False)
+            k_batch, k_var = jax.random.split(k)
+            indices = jax.random.choice(k_batch, nt, (batchsize,),
+                                        replace=False)
+            if num_variants > 1:
+                var = jax.random.randint(k_var, (), 0, num_variants)
+                rt_i = jax.tree_util.tree_map(lambda x: x[var], rt)
+            else:
+                rt_i = rt
             (loss, _), grads = jax.value_and_grad(
                 compute_loss, has_aux=True)(
                     state.params, target, sigma, third, t_frames, indices,
-                    rt, scale)
+                    rt_i, scale)
             return state.apply_gradients(grads), loss
 
         keys = jax.random.split(key, chunk)

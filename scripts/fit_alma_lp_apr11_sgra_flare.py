@@ -75,9 +75,10 @@ def main():
                               z_width=model.z_width)
     train_step = TrainStep.image(t_train, data_train, predictor,
                                  sigma=np.asarray(opt_cfg.sigma),
-                                 dtype='lc')
+                                 dtype='lc', fused=opt_cfg.fused)
     val_step = TrainStep.image(t_val, data_val, predictor,
-                               sigma=np.asarray(opt_cfg.sigma), dtype='lc')
+                               sigma=np.asarray(opt_cfg.sigma), dtype='lc',
+                               fused=opt_cfg.fused)
     rot_angle = np.deg2rad(cfg.preprocess.de_rot_angle + 20.0)
 
     inc_grid = config_lib.inclination_grid(args.inc, args.start_inc)
@@ -88,6 +89,13 @@ def main():
         raytracing_args = alma.get_raytracing_args(
             np.deg2rad(inclination), model.spin, model.asdict(),
             rot_angle=rot_angle, num_subpixel_rays=model.num_subrays)
+        if opt_cfg.fused:
+            # domain compaction (uniformly padded across the sub-pixel
+            # ensemble) puts the whole fit — including the in-scan
+            # per-step variant draw — on the fused scan-chunked path
+            from bhnerf_tpu.train.step import compact_ensemble_args
+            raytracing_args = compact_ensemble_args(raytracing_args,
+                                                    predictor)
 
         for seed in tqdm(seeds, desc='seed', leave=False):
             runname = basename.format(inclination, seed)
@@ -118,7 +126,7 @@ def main():
                                   save_period=opt_cfg.save_period,
                                   checkpoint_dir=str(checkpoint_dir))
             optimizer.run(opt_cfg.batchsize, train_step, raytracing_args,
-                          log_fns=log_fns)
+                          log_fns=log_fns, scan_chunk=opt_cfg.scan_chunk)
             writer.close()
 
 

@@ -82,7 +82,7 @@ def main():
         posenc_var=model_params.get('recovery_scale', 1.0) / fov_M)
     train_step = TrainStep.image(t_train, data_train, predictor,
                                  sigma=np.asarray(opt_cfg.sigma),
-                                 dtype='lc')
+                                 dtype='lc', fused=opt_cfg.fused)
 
     sim_name = simulation_params.get('name', data_path.stem)
     recovery_dir = data_path.parent / 'recovery' / sim_name
@@ -110,6 +110,12 @@ def main():
         raytracing_args = alma.get_raytracing_args(
             np.deg2rad(inclination), spin, model_params, stokes,
             num_subpixel_rays=model_params.get('num_subrays', 1))
+        if opt_cfg.fused:
+            # uniform compaction keeps the sub-pixel ensemble on the
+            # fused scan-chunked path (variant drawn in-scan)
+            from bhnerf_tpu.train.step import compact_ensemble_args
+            raytracing_args = compact_ensemble_args(raytracing_args,
+                                                    predictor)
 
         for seed in tqdm(seeds, desc='seed', leave=False):
             runname = basename.format(inclination, seed)
@@ -142,7 +148,7 @@ def main():
                                   save_period=opt_cfg.save_period,
                                   checkpoint_dir=str(checkpoint_dir))
             optimizer.run(opt_cfg.batchsize, train_step, raytracing_args,
-                          log_fns=log_fns)
+                          log_fns=log_fns, scan_chunk=opt_cfg.scan_chunk)
             writer.close()
 
 

@@ -396,3 +396,116 @@ def test_chi2_df_labels_and_float_grid():
                       data=None)
     assert list(df.columns) == ['seed 3', 'seed 7']
     assert df.index.name == 'inc'
+
+
+def test_array_parses_fr_and_dterm_columns(array):
+    """EHT2017.txt carries FR_PAR/FR_ELEV/FR_OFFSET and D-term columns."""
+    assert array.fr_par.shape == (array.nstations,)
+    i_alma = array.names.index('ALMA')
+    i_sma = array.names.index('SMA')
+    assert array.fr_par[i_alma] == 1.0 and array.fr_elev[i_alma] == 0.0
+    assert array.fr_elev[i_sma] == -1.0
+    np.testing.assert_allclose(array.fr_off[i_sma], np.deg2rad(45.0))
+    np.testing.assert_allclose(array.d_R, 0.0)
+
+
+def test_station_angles_consistent_with_elevation_flags(obs_empty, array):
+    """station_angles reproduces the elevation cuts empty_eht_obs used
+    to build the mask (same geometry, independent wiring)."""
+    elev, par = obs_lib.station_angles(obs_empty)
+    assert elev.shape == (obs_empty.nscan, array.nstations)
+    el_deg = np.rad2deg(elev)
+    ok = (el_deg > 15.0) & (el_deg < 85.0)
+    i, j = obs_empty.baselines[:, 0], obs_empty.baselines[:, 1]
+    np.testing.assert_array_equal(obs_empty.mask, ok[:, i] & ok[:, j])
+    assert np.isfinite(par).all()
+
+
+def test_field_rotation_rotates_evpa_by_station_angles(obs_empty):
+    """frcal=False on a pure-Q source rotates the RL visibility phase by
+    exactly -(phi_i + phi_j): elevation/parallactic-dependent EVPA
+    corruption (reference observation.py:160-177 frcal toggle)."""
+    npix = 8
+    psize = 1e-10
+    movie = np.zeros((1, 4, npix, npix))
+    movie[:, 0, npix // 2, npix // 2] = 1.0
+    movie[:, 1, npix // 2, npix // 2] = 0.3   # Q
+    times = np.array([10.0])
+    clean = obs_lib.observe_same(movie, times, psize, obs_empty,
+                                 thermal_noise=False)
+    rot = obs_lib.observe_same(movie, times, psize, obs_empty,
+                               thermal_noise=False, frcal=False, seed=0)
+    phi = obs_lib.field_rotation_angles(obs_empty)
+    i, j = obs_empty.baselines[:, 0], obs_empty.baselines[:, 1]
+    rl_clean = clean.vis[..., 1] + 1j * clean.vis[..., 2]
+    rl_rot = rot.vis[..., 1] + 1j * rot.vis[..., 2]
+    m = clean.mask
+    expected = rl_clean[m] * np.exp(-1j * (phi[:, i] + phi[:, j])[m])
+    np.testing.assert_allclose(rl_rot[m], expected, atol=1e-10)
+    # the corruption is real: some baselines rotate EVPA by > 5 deg
+    shift = np.angle(rl_rot[m] / rl_clean[m]) / 2
+    assert np.abs(shift).max() > np.deg2rad(5)
+
+
+def test_inverse_jones_undoes_known_corruption(obs_empty):
+    """Corrupt with field rotation + known D-terms + gains, then
+    calibrate with apply_inverse_jones using the known terms: exact
+    roundtrip (VERDICT r2 next #5 acceptance)."""
+    rng = np.random.default_rng(3)
+    ns = obs_empty.array.nstations
+    nscan, nbl = obs_empty.nscan, obs_empty.nbl
+    vis = (rng.standard_normal((nscan, nbl, 4))
+           + 1j * rng.standard_normal((nscan, nbl, 4)))
+    g_R = (1 + 0.2 * rng.standard_normal((nscan, ns))) * np.exp(
+        1j * rng.standard_normal((nscan, ns)))
+    g_L = (1 + 0.2 * rng.standard_normal((nscan, ns))) * np.exp(
+        1j * rng.standard_normal((nscan, ns)))
+    d_R = 0.05 * (rng.standard_normal(ns) + 1j * rng.standard_normal(ns))
+    d_L = 0.05 * (rng.standard_normal(ns) + 1j * rng.standard_normal(ns))
+    phi = obs_lib.field_rotation_angles(obs_empty)
+    corr = obs_lib.apply_jones_corruption(vis, obs_empty.baselines,
+                                          g_R, g_L, d_R, d_L, phi=phi)
+    cal = obs_lib.apply_inverse_jones(corr, obs_empty.baselines,
+                                      g_R=g_R, g_L=g_L, d_R=d_R, d_L=d_L,
+                                      phi=phi)
+    np.testing.assert_allclose(cal, vis, atol=1e-10)
+    # gain-free corruption (leakage + field rotation only) is exactly
+    # undone by the partial inverse with known D-terms and angles
+    ones = np.ones((nscan, ns), complex)
+    corr_df = obs_lib.apply_jones_corruption(vis, obs_empty.baselines,
+                                             ones, ones, d_R, d_L,
+                                             phi=phi)
+    partial = obs_lib.apply_inverse_jones(corr_df, obs_empty.baselines,
+                                          d_R=d_R, d_L=d_L, phi=phi)
+    np.testing.assert_allclose(partial, vis, atol=1e-10)
+
+
+def test_ampcal_phasecal_independent_toggles(obs_empty):
+    """ampcal=False/phasecal=True perturbs only amplitudes (ratio to the
+    clean vis is real positive); phasecal=False/ampcal=True only phases
+    (|vis| unchanged)."""
+    npix = 8
+    psize = 1e-10
+    movie = np.zeros((1, 1, npix, npix))
+    movie[:, 0, npix // 2, npix // 2] = 1.0
+    times = np.array([10.0])
+    clean = obs_lib.observe_same(movie, times, psize, obs_empty,
+                                 thermal_noise=False)
+    amp_only = obs_lib.observe_same(movie, times, psize, obs_empty,
+                                    thermal_noise=False, ampcal=False,
+                                    phasecal=True, seed=5)
+    m = clean.mask
+    ratio = amp_only.vis[..., 0][m] / clean.vis[..., 0][m]
+    np.testing.assert_allclose(ratio.imag, 0.0, atol=1e-12)
+    assert (ratio.real > 0).all()
+    assert np.abs(ratio.real - 1.0).max() > 0.01  # errors present
+
+    # independent R/L phase errors (rlgaincal=False, the reference tier)
+    # DECOHERE Stokes I: |I'| = |I| |e^{i thR} + e^{i thL}| / 2 <= |I|,
+    # with phase (thR + thL)/2 — amplitudes can only shrink
+    ph_only = obs_lib.observe_same(movie, times, psize, obs_empty,
+                                   thermal_noise=False, ampcal=True,
+                                   phasecal=False, seed=5)
+    ratio = ph_only.vis[..., 0][m] / clean.vis[..., 0][m]
+    assert (np.abs(ratio) <= 1.0 + 1e-12).all()
+    assert np.abs(np.angle(ratio)).max() > 0.1  # phase errors present
