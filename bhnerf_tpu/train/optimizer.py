@@ -154,6 +154,9 @@ class Optimizer:
                   num_variants=1):
         from tqdm.auto import tqdm
         args = train_step.args[0]
+        rt_mesh = getattr(rt, 'mesh', None)
+        if rt_mesh is not None and args.mesh is None:
+            args.ensure_placed(rt_mesh)
         # python float, not np.float64: a weak-typed scalar matches any
         # pre-compiled executable; an f64 scalar forces a fresh compile
         scale = float(train_step.scale[0])
@@ -245,12 +248,23 @@ class TrainStep:
             fns = self.test_fn
 
         for rt in raytracing_args:
+            # a raw numpy argument forces the pjit SLOW dispatch path
+            # when the executable carries mesh shardings (sample-
+            # parallel crt): ~50x per-step host overhead behind the
+            # tunnel (measured). Commit the indices on the mesh.
+            rt_mesh = getattr(rt, 'mesh', None)
+            idx = np.asarray(indices, np.int32)
+            if rt_mesh is not None:
+                import jax
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                idx = jax.device_put(idx, NamedSharding(rt_mesh, P()))
             for i in range(self.num_losses):
                 if self.args[i].mesh is None:
                     # gather-in-jit path: full device-resident tensors +
                     # indices; one dispatch, no per-step H2D upload
-                    batch = (*self.args[i].device_args,
-                             np.asarray(indices, np.int32))
+                    if rt_mesh is not None:
+                        self.args[i].ensure_placed(rt_mesh)
+                    batch = (*self.args[i].device_args, idx)
                 else:
                     batch = self.args[i][indices]
                 loss, state, images = fns[i](state, *batch, rt,
@@ -378,6 +392,21 @@ class TemporalBatchedArgs:
                 arrays = [jax.device_put(a, sh) for a in arrays]
             self._device_args = arrays
         return self._device_args
+
+    def ensure_placed(self, mesh):
+        """Commit the device-resident frame tensors (replicated) on
+        `mesh` once. Used when the RAY args are mesh-sharded but this
+        container has no mesh of its own: inputs whose committed
+        sharding differs from what the sharded executable expects are
+        re-sharded on every call (a per-step re-upload behind the TPU
+        tunnel)."""
+        if self.mesh is None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sh = NamedSharding(mesh, P())
+            self._device_args = [jax.device_put(a, sh)
+                                 for a in self.device_args]
+            self.mesh = mesh
 
     def sample(self, batchsize, replace=False):
         return np.random.choice(range(self.num_frames), batchsize,

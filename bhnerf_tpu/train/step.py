@@ -325,17 +325,32 @@ def compact_raytracing_args(rt: RayTracingArgs, predictor, tile=None,
         cols['red_group_ids'].append(rgid)
 
     cat = lambda xs: np.concatenate(xs, axis=-1)
+
+    if mesh is not None:
+        # commit every leaf with the EXACT sharding the shard_map'd
+        # executable expects: otherwise jit re-shards (device_put) the
+        # whole sample set on EVERY call — behind the TPU tunnel that is
+        # a per-step re-upload costing ~10x the compute (measured)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        row = NamedSharding(mesh, P(shard_axis))
+        mat = NamedSharding(mesh, P(None, shard_axis))
+        rep = NamedSharding(mesh, P())
+        put = lambda x, dt, sh: jax.device_put(jnp.asarray(x, dt), sh)
+    else:
+        row = mat = rep = None
+        put = lambda x, dt, sh: jnp.asarray(x, dt)
+
     return CompactRayArgs(
-        coords=jnp.asarray(cat(cols['coords']), jnp.float32),
-        Omega=(Omega if omega_flat is None
-               else jnp.asarray(cat(cols['Omega']), jnp.float32)),
-        weights=jnp.asarray(cat(cols['weights']), jnp.float32),
-        t_geos_rel=jnp.asarray(cat(cols['tg']), jnp.float32),
-        pixel_ids=jnp.asarray(cat(cols['pix']), jnp.int32),
-        t_injection=rt.t_injection,
-        red_gather=jnp.asarray(cat(cols['red_gather']), jnp.int32),
-        red_weights=jnp.asarray(cat(cols['red_weights']), jnp.float32),
-        red_group_ids=jnp.asarray(cat(cols['red_group_ids']), jnp.int32),
+        coords=put(cat(cols['coords']), jnp.float32, mat),
+        Omega=(put(Omega, jnp.float32, rep) if omega_flat is None
+               else put(cat(cols['Omega']), jnp.float32, row)),
+        weights=put(cat(cols['weights']), jnp.float32, mat),
+        t_geos_rel=put(cat(cols['tg']), jnp.float32, row),
+        pixel_ids=put(cat(cols['pix']), jnp.int32, row),
+        t_injection=put(rt.t_injection, jnp.float32, rep),
+        red_gather=put(cat(cols['red_gather']), jnp.int32, row),
+        red_weights=put(cat(cols['red_weights']), jnp.float32, mat),
+        red_group_ids=put(cat(cols['red_group_ids']), jnp.int32, row),
         image_shape=(na, nb),
         polarized=polarized,
         t_start_obs=rt.t_start_obs,

@@ -65,6 +65,15 @@ grad_step, _ = make_step_fns(predictor, kind='image', dtype='full',
 
 
 def run(crt, label):
+    global batch
+    if crt.mesh is not None:
+        # production placement (TemporalBatchedArgs.ensure_placed +
+        # TrainStep.__call__ committed indices): EVERY input committed
+        # on the mesh, or pjit falls off the fast dispatch path and
+        # re-shards per call (a per-step re-upload behind the tunnel)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(crt.mesh, P())
+        batch = tuple(jax.device_put(jnp.asarray(b), sh) for b in batch)
     state = TrainState.create(predictor.init_params(seed=0),
                               make_optimizer(50000))
     loss, state, _ = grad_step(state, *batch, crt, 1.0)
