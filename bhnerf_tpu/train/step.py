@@ -188,7 +188,8 @@ def _grouped_layout(pixel_ids, W, npix, G):
     pixel_ids: (n,) sorted pixel of each sample (block-local positions);
     W: (nstokes, n) weights. Returns (red_gather block-LOCAL int indices,
     red_weights with 0 on filler slots, red_group_ids sorted global pixel
-    ids), with n_groups * G slots (groups not yet padded to 8)."""
+    ids, valid_slot bool), with n_groups * G slots (groups not yet
+    padded)."""
     counts = np.bincount(pixel_ids, minlength=npix)
     nz = np.flatnonzero(counts)
     c_nz = counts[nz]
@@ -204,10 +205,11 @@ def _grouped_layout(pixel_ids, W, npix, G):
                           seg_starts[pix_of_slot] + slot_in_pix, 0)
     red_weights = np.where(valid_slot[None], W[:, red_gather], 0.0)
     red_group_ids = np.repeat(nz, ng)
-    return red_gather, red_weights, red_group_ids
+    return red_gather, red_weights, red_group_ids, valid_slot
 
 
-def _pad_grouped(red_gather, red_weights, red_group_ids, n_groups, npix, G):
+def _pad_grouped(red_gather, red_weights, red_group_ids, valid_slot,
+                 n_groups, npix, G):
     """Pad a block's grouped layout to exactly n_groups groups."""
     g_pad = n_groups - red_group_ids.size
     assert g_pad >= 0
@@ -219,13 +221,15 @@ def _pad_grouped(red_gather, red_weights, red_group_ids, n_groups, npix, G):
                                    red_weights.dtype)], axis=1)
         red_group_ids = np.concatenate(
             [red_group_ids, np.full(g_pad, npix, np.int64)])
-    return red_gather, red_weights, red_group_ids
+        valid_slot = np.concatenate(
+            [valid_slot, np.zeros(g_pad * G, bool)])
+    return red_gather, red_weights, red_group_ids, valid_slot
 
 
 def compact_raytracing_args(rt: RayTracingArgs, predictor, tile=None,
                             mesh=None, shards=None, shard_axis='ray',
-                            pad_local_n=None,
-                            pad_groups=None) -> CompactRayArgs:
+                            pad_local_n=None, pad_groups=None,
+                            layout='auto') -> CompactRayArgs:
     """Gather the in-domain subset of a RayTracingArgs (host-side, once).
 
     predictor supplies rmin/rmax/z_width; J/g/dtau/Sigma fold into a
@@ -248,6 +252,17 @@ def compact_raytracing_args(rt: RayTracingArgs, predictor, tile=None,
     counts so several sub-pixel-ray variants come out identically
     shaped (compact_ensemble_args uses this to build stackable
     ensembles for the scan-chunked training path).
+
+    layout selects the reduction strategy (measured on v5e):
+    * 'gather'  — samples packed tight; the reduce re-gathers them into
+      per-pixel groups (red_gather/red_weights). Best when the epilogue
+      is cheap relative to the MLP (1 Stokes component).
+    * 'native'  — samples are laid out DIRECTLY in the per-pixel padded
+      group slots (~20% inert filler samples through the MLP), so the
+      reduce needs NO gather at all and its backward gathers per GROUP
+      (8x fewer rows). The polarized (3-Stokes) epilogue was 45% of the
+      step in the gather layout — gathers cost ~15 cycles/row on TPU.
+    * 'auto'    — 'native' for multi-Stokes weights, 'gather' otherwise.
     """
     if tile is None:
         from bhnerf_tpu.ops import fused as fused_lib
@@ -280,20 +295,30 @@ def compact_raytracing_args(rt: RayTracingArgs, predictor, tile=None,
 
     # contiguous equal blocks of the pixel-sorted sample list — pixel
     # segments stay (mostly) shard-local
+    if layout == 'auto':
+        layout = 'native' if W_all.shape[0] > 1 else 'gather'
+    if layout not in ('native', 'gather'):
+        raise ValueError(f'unknown layout {layout!r}')
+
     blocks = np.array_split(np.arange(flat_idx_all.size), shards)
-    local_n = max((len(b) + tile - 1) // tile * tile for b in blocks)
-    if pad_local_n is not None:
-        local_n = max(local_n, int(pad_local_n))
-    # common per-block group count (multiple of 8 for sublane-friendly
-    # scatter rows), computed after building each block's layout
+    # common per-block group count, computed after building each block's
+    # layout. 'gather': multiple of 8 (sublane-friendly scatter rows);
+    # 'native': groups*G must also be a multiple of the kernel tile
     layouts = []
     for b in blocks:
         pix_b = flat_idx_all[b] // ngeo
         layouts.append(_grouped_layout(pix_b, W_all[:, b], npix, G))
     n_groups = max(l[2].size for l in layouts)
-    n_groups = (n_groups + 7) // 8 * 8
+    gmult = max(8, tile // G) if layout == 'native' else 8
     if pad_groups is not None:
         n_groups = max(n_groups, int(pad_groups))
+    n_groups = (n_groups + gmult - 1) // gmult * gmult
+    if layout == 'native':
+        local_n = n_groups * G
+    else:
+        local_n = max((len(b) + tile - 1) // tile * tile for b in blocks)
+        if pad_local_n is not None:
+            local_n = max(local_n, int(pad_local_n))
 
     Omega = rt.Omega
     omega_flat = (None if jnp.ndim(Omega) == 0
@@ -305,6 +330,24 @@ def compact_raytracing_args(rt: RayTracingArgs, predictor, tile=None,
                 red_gather=[], red_weights=[], red_group_ids=[])
     for b, lay in zip(blocks, layouts):
         idx = flat_idx_all[b]
+        rg, rw, rgid, valid = _pad_grouped(*lay, n_groups, npix, G)
+        if layout == 'native':
+            # samples live directly in the padded group slots: the
+            # reduce is a pure blocked sum (no gather); filler slots
+            # are inert (never-valid time, zero weight)
+            slot_idx = idx[rg]
+            cols['coords'].append(
+                np.where(valid[None], coords_flat[:, slot_idx], 0.0))
+            if omega_flat is not None:
+                cols['Omega'].append(
+                    np.where(valid, omega_flat[slot_idx], 0.0))
+            cols['weights'].append(rw)
+            cols['tg'].append(
+                np.where(valid, tg_flat[slot_idx], -1e30))
+            cols['pix'].append(np.repeat(rgid, G))
+            cols['red_group_ids'].append(rgid)
+            continue
+
         pad = local_n - len(b)
 
         def padded(x, fill=0.0):
@@ -319,7 +362,6 @@ def compact_raytracing_args(rt: RayTracingArgs, predictor, tile=None,
         cols['tg'].append(padded(tg_flat[idx], fill=-1e30))
         cols['pix'].append(padded((idx // ngeo).astype(np.int64),
                                   fill=npix))
-        rg, rw, rgid = _pad_grouped(*lay, n_groups, npix, G)
         cols['red_gather'].append(rg)
         cols['red_weights'].append(rw)
         cols['red_group_ids'].append(rgid)
@@ -348,8 +390,11 @@ def compact_raytracing_args(rt: RayTracingArgs, predictor, tile=None,
         t_geos_rel=put(cat(cols['tg']), jnp.float32, row),
         pixel_ids=put(cat(cols['pix']), jnp.int32, row),
         t_injection=put(rt.t_injection, jnp.float32, rep),
-        red_gather=put(cat(cols['red_gather']), jnp.int32, row),
-        red_weights=put(cat(cols['red_weights']), jnp.float32, mat),
+        red_gather=(None if layout == 'native'
+                    else put(cat(cols['red_gather']), jnp.int32, row)),
+        red_weights=(None if layout == 'native'
+                     else put(cat(cols['red_weights']), jnp.float32,
+                              mat)),
         red_group_ids=put(cat(cols['red_group_ids']), jnp.int32, row),
         image_shape=(na, nb),
         polarized=polarized,
@@ -423,7 +468,7 @@ def _reduce_to_images(em, crt: CompactRayArgs):
     scatter."""
     npix = crt.npix
 
-    if crt.red_gather is None:
+    if crt.red_gather is None and crt.red_group_ids is None:
         def per_frame(e):
             contrib = e[None, :] * crt.weights          # (nstokes, N)
             return jax.vmap(lambda c: jax.ops.segment_sum(
@@ -433,6 +478,9 @@ def _reduce_to_images(em, crt: CompactRayArgs):
 
     # all arrays pass as explicit arguments (a custom_vjp closing over
     # them would leak tracers under shard_map)
+    if crt.red_gather is None:
+        # 'native' layout: samples already live in the group slots
+        return _native_reduce(npix, em, crt.weights, crt.red_group_ids)
     return _grouped_reduce(npix, em, crt.red_gather, crt.red_weights,
                            crt.red_group_ids, crt.pixel_ids, crt.weights)
 
@@ -473,6 +521,43 @@ def _gr_bwd(npix, res, d_img):
 
 
 _grouped_reduce.defvjp(_gr_fwd, _gr_bwd)
+
+
+def _native_reduce_impl(npix, em, weights, group_ids):
+    F, ns = em.shape[0], weights.shape[0]
+    contrib = em[:, None, :] * weights              # (F, ns, N)
+    gsum = contrib.reshape(F, ns, -1, _REDUCE_G).sum(-1)
+    return jax.vmap(jax.vmap(lambda g: jax.ops.segment_sum(
+        g, group_ids, num_segments=npix + 1,
+        indices_are_sorted=True)[:npix]))(gsum)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _native_reduce(npix, em, weights, group_ids):
+    """Blocked reduce for the 'native' sample layout: pure contiguous
+    group sums (no gather) + the small sorted scatter. The backward
+    gathers d_img per GROUP (8x fewer rows than per sample — TPU
+    gathers cost ~15 cycles/row) and broadcasts within the group."""
+    return _native_reduce_impl(npix, em, weights, group_ids)
+
+
+def _nr_fwd(npix, em, weights, group_ids):
+    return _native_reduce_impl(npix, em, weights, group_ids), (weights,
+                                                               group_ids)
+
+
+def _nr_bwd(npix, res, d_img):
+    weights, group_ids = res
+    ns = weights.shape[0]
+    dpad = jnp.pad(d_img, ((0, 0), (0, 0), (0, 1)))  # padding pixel
+    dg = jnp.take(dpad, group_ids, axis=2)          # (F, ns, ngroups)
+    w3 = weights.reshape(ns, -1, _REDUCE_G)
+    d_em = jnp.einsum('fsg,sgk->fgk', dg, w3).reshape(d_img.shape[0], -1)
+    f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
+    return (d_em, jnp.zeros_like(weights), f0(group_ids))
+
+
+_native_reduce.defvjp(_nr_fwd, _nr_bwd)
 
 
 def predict_emission(params, predictor, t_frames_M, rt: RayTracingArgs):
@@ -550,8 +635,9 @@ def _sharded_compact_prediction(params, predictor, t_frames_M,
                   t_geos_rel=crt.t_geos_rel, pixel_ids=crt.pixel_ids)
     if crt.red_gather is not None:
         leaves.update(red_gather=crt.red_gather,
-                      red_weights=crt.red_weights,
-                      red_group_ids=crt.red_group_ids)
+                      red_weights=crt.red_weights)
+    if crt.red_group_ids is not None:
+        leaves.update(red_group_ids=crt.red_group_ids)
     if jnp.ndim(crt.Omega) > 0:
         leaves['Omega'] = crt.Omega
 

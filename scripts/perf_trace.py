@@ -37,28 +37,51 @@ def main():
                                        make_scan_step)
 
     fov = 16.0
-    geos = image_plane_geos(
-        spin=0.2, inclination=np.deg2rad(60.0),
-        alpha_range=(-fov / 2, fov / 2), beta_range=(-fov / 2, fov / 2),
-        ngeo=100, num_alpha=64, num_beta=64, n_fine=4096)
-    Omega = geos.keplerian_omega()
-    GM_hr = constants.GM_c3(constants.sgra_mass).to('hr').value
-    rt = raytracing_args(geos, Omega, -float(geos.r_o + 4),
-                         units.Quantity(0.0, 'hr'))
+    alma = '--alma' in sys.argv
     predictor = NeRFPredictor(scale=fov / 2, rmin=3.0, rmax=fov / 2,
                               z_width=2.0, compute_dtype='bfloat16')
-    crt = compact_raytracing_args(rt, predictor)
-
+    GM_hr = constants.GM_c3(constants.sgra_mass).to('hr').value
     nt = 64
     rng = np.random.default_rng(0)
-    target = jnp.asarray(rng.random((nt, 64, 64), dtype=np.float32))
+    if alma:
+        # polarized flagship shape with the in-scan ensemble
+        # (same synthetic workload as bench.bench_alma_shape)
+        import bench as bench_lib
+        from bhnerf_tpu.train.step import (compact_ensemble_args,
+                                           stack_ensemble)
+        num_variants = 10
+        if '--variants' in sys.argv:
+            num_variants = int(sys.argv[sys.argv.index('--variants') + 1])
+        rt_list = [bench_lib.synthetic_polarized_rt(128, 100, fov,
+                                                    predictor, seed=s)
+                   for s in range(num_variants)]
+        crt = stack_ensemble(compact_ensemble_args(rt_list, predictor))
+        if num_variants == 1:
+            crt = compact_ensemble_args(rt_list, predictor)[0]
+        target = jnp.asarray(rng.random((nt, 3), dtype=np.float32))
+        t_all = jnp.asarray(np.linspace(0.0, 1.0, nt, dtype=np.float32))
+        kind_kwargs = dict(kind='image', dtype='lc')
+    else:
+        geos = image_plane_geos(
+            spin=0.2, inclination=np.deg2rad(60.0),
+            alpha_range=(-fov / 2, fov / 2),
+            beta_range=(-fov / 2, fov / 2),
+            ngeo=100, num_alpha=64, num_beta=64, n_fine=4096)
+        Omega = geos.keplerian_omega()
+        rt = raytracing_args(geos, Omega, -float(geos.r_o + 4),
+                             units.Quantity(0.0, 'hr'))
+        crt = compact_raytracing_args(rt, predictor)
+        num_variants = 1
+        target = jnp.asarray(rng.random((nt, 64, 64), dtype=np.float32))
+        t_all = jnp.asarray(np.linspace(0.0, 200.0 * GM_hr, nt,
+                                        dtype=np.float32))
+        kind_kwargs = dict(kind='image', dtype='full')
+
     sigma = jnp.ones_like(target)
     offset = jnp.zeros_like(target)
-    t_all = jnp.asarray(np.linspace(0.0, 200.0 * GM_hr, nt,
-                                    dtype=np.float32))
-    scan_fn = make_scan_step(predictor=predictor, kind='image',
-                             dtype='full', fused=True, batchsize=6,
-                             chunk=REPS)
+    scan_fn = make_scan_step(predictor=predictor, fused=True, batchsize=6,
+                             chunk=REPS, num_variants=num_variants,
+                             **kind_kwargs)
     state = TrainState.create(predictor.init_params(seed=0),
                               make_optimizer(50000))
     state, losses = scan_fn(state, target, sigma, offset, t_all,

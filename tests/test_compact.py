@@ -94,7 +94,7 @@ def test_grouped_reduction_matches_direct_scatter(setup):
     import dataclasses
     from bhnerf_tpu.train.step import _reduce_to_images
     predictor, params, rt, _, t_frames_M = setup
-    crt = compact_raytracing_args(rt, predictor)
+    crt = compact_raytracing_args(rt, predictor, layout='gather')
     assert crt.red_gather is not None
     n = crt.coords.shape[-1]
     em = jnp.asarray(np.random.default_rng(1).random((3, n)), jnp.float32)
@@ -210,3 +210,49 @@ def _build_compact_for_test(pixel_ids, W, npix, n_pad, tile):
         red_weights=_jnp.asarray(red_w, _jnp.float32),
         red_group_ids=_jnp.asarray(red_gid, _jnp.int32),
         image_shape=(npix, 1), polarized=True)
+
+
+def test_native_layout_selection_and_equality(setup):
+    """layout='auto' picks 'native' (no gather tables) for multi-Stokes
+    weights and 'gather' for unpolarized; both layouts agree with each
+    other in images AND parameter gradients, through XLA and fused."""
+    predictor, params, rt, rt_scalar, t_frames_M = setup
+    crt_nat = compact_raytracing_args(rt, predictor)
+    crt_gat = compact_raytracing_args(rt, predictor, layout='gather')
+    assert crt_nat.red_gather is None
+    assert crt_nat.red_group_ids is not None
+    assert crt_gat.red_gather is not None
+    crt_u = compact_raytracing_args(rt_scalar, predictor)
+    assert crt_u.red_gather is not None  # unpolarized default: gather
+    # native slots are a padded superset of the samples
+    assert crt_nat.coords.shape[-1] >= crt_gat.coords.shape[-1]
+
+    def loss(params, crt, fused):
+        img = image_plane_prediction(params, predictor, t_frames_M, crt,
+                                     fused=fused)
+        return jnp.sum(img ** 2)
+
+    for fused in (False, True):
+        v_nat, g_nat = jax.value_and_grad(loss)(params, crt_nat, fused)
+        v_gat, g_gat = jax.value_and_grad(loss)(params, crt_gat, fused)
+        np.testing.assert_allclose(float(v_nat), float(v_gat), rtol=2e-5)
+        for k in g_nat:
+            np.testing.assert_allclose(
+                np.asarray(g_nat[k]['kernel']),
+                np.asarray(g_gat[k]['kernel']), rtol=5e-4, atol=5e-7,
+                err_msg=f'{k} fused={fused}')
+
+
+def test_native_layout_ensemble_uniform(setup):
+    """compact_ensemble_args produces uniformly-shaped native-layout
+    variants (pad_groups path)."""
+    from bhnerf_tpu.train.step import compact_ensemble_args, stack_ensemble
+    predictor, params, rt, _, t_frames_M = setup
+    import dataclasses
+    # perturb weights to mimic distinct sub-pixel variants with
+    # different in-domain counts is hard here; just check the API on
+    # identical variants
+    crt_list = compact_ensemble_args([rt, rt], predictor)
+    assert len({c.coords.shape for c in crt_list}) == 1
+    stacked = stack_ensemble(crt_list)
+    assert stacked.coords.shape[0] == 2
