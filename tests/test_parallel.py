@@ -144,6 +144,50 @@ def test_sample_parallel_fused_kernel(setup):
         'sample tensors must partition without all-gather'
 
 
+def test_sample_parallel_native_layout_polarized(setup):
+    """The grouped-native (gather-free) polarized layout also blocks per
+    shard: shard_map prediction matches unsharded, fwd + grad."""
+    from bhnerf_tpu import units as units_lib
+    from bhnerf_tpu.ops import gr
+    from bhnerf_tpu.train import raytracing_args as rt_args
+    predictor, params, rt, t_frames_M = setup
+    geos = image_plane_geos(spin=0.0, inclination=np.deg2rad(60),
+                            alpha_range=(-8, 8), beta_range=(-8, 8),
+                            ngeo=32, num_alpha=16, num_beta=16,
+                            n_fine=2048)
+    Omega = geos.keplerian_omega()
+    umu = gr.azimuthal_velocity_vector(geos, Omega)
+    g = gr.doppler_factor(geos, umu)
+    b = gr.magnetic_field_fluid_frame(geos, umu, 0, 1, 0)
+    J = np.nan_to_num(np.asarray(gr.parallel_transport(
+        geos, umu, g, b, Q_frac=0.5, V_frac=0.0)), nan=0.0)
+    rtp = rt_args(geos, Omega, -float(geos.r_o + 4),
+                  units_lib.Quantity(0.0, 'hr'), J=J)
+
+    crt_ref = compact_raytracing_args(rtp, predictor, tile=256)
+    assert crt_ref.red_gather is None      # auto -> native for 3 Stokes
+    ref = np.asarray(image_plane_prediction(params, predictor, t_frames_M,
+                                            crt_ref))
+    mesh = create_mesh((2, 4))
+    crt_sh = compact_raytracing_args(rtp, predictor, tile=256, mesh=mesh)
+    assert crt_sh.num_shards == 4 and crt_sh.red_gather is None
+
+    def loss(params, crt):
+        img = image_plane_prediction(params, predictor, t_frames_M, crt)
+        return jnp.sum(img ** 2)
+
+    out = np.asarray(jax.jit(image_plane_prediction,
+                             static_argnums=(1,))(params, predictor,
+                                                  t_frames_M, crt_sh))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=1e-7)
+    g_ref = jax.grad(loss)(params, crt_ref)
+    g_sh = jax.jit(jax.grad(loss))(params, crt_sh)
+    for k in g_ref:
+        np.testing.assert_allclose(
+            np.asarray(g_sh[k]['kernel']), np.asarray(g_ref[k]['kernel']),
+            rtol=1e-3, atol=5e-6)
+
+
 def test_scan_chunked_training_under_mesh():
     """The scan-chunked (one-dispatch-per-chunk) path is mesh-agnostic:
     with frame tensors sharded over 'data', the scanned losses match the
