@@ -117,7 +117,10 @@ def bench_alma_shape(predictor_base, mark, num_variants=10, chunk=100):
     predictor = dataclasses.replace(predictor_base, rmin=3.0)
     rt_list = [synthetic_polarized_rt(num, ngeo, fov, predictor, seed=s)
                for s in range(num_variants)]
-    crt_list = compact_ensemble_args(rt_list, predictor)
+    # lc losses never materialize per-pixel images (train.step routes
+    # them through the em @ W^T matmul), so the packed 'gather' layout
+    # (no group-slot filler through the MLP) is the fast one here
+    crt_list = compact_ensemble_args(rt_list, predictor, layout='gather')
     n_eff = crt_list[0].coords.shape[-1]
     stacked = stack_ensemble(crt_list)
 

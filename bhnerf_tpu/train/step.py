@@ -334,17 +334,25 @@ def compact_raytracing_args(rt: RayTracingArgs, predictor, tile=None,
         if layout == 'native':
             # samples live directly in the padded group slots: the
             # reduce is a pure blocked sum (no gather); filler slots
-            # are inert (never-valid time, zero weight)
+            # are inert (never-valid time, zero weight). Slots are
+            # K-MAJOR (slot = k * n_groups + g): the G-sum then reduces
+            # over SUBLANES with all n_groups lanes busy — the g-major
+            # order put G=8 in the lane dimension and wasted 120/128
+            # lanes of the reduce fusion (measured ~2 ms/step)
+            def kmajor(a):
+                return (a.reshape(*a.shape[:-1], n_groups, G)
+                        .swapaxes(-1, -2).reshape(*a.shape[:-1], -1))
+
             slot_idx = idx[rg]
-            cols['coords'].append(
-                np.where(valid[None], coords_flat[:, slot_idx], 0.0))
+            cols['coords'].append(kmajor(
+                np.where(valid[None], coords_flat[:, slot_idx], 0.0)))
             if omega_flat is not None:
-                cols['Omega'].append(
-                    np.where(valid, omega_flat[slot_idx], 0.0))
-            cols['weights'].append(rw)
-            cols['tg'].append(
-                np.where(valid, tg_flat[slot_idx], -1e30))
-            cols['pix'].append(np.repeat(rgid, G))
+                cols['Omega'].append(kmajor(
+                    np.where(valid, omega_flat[slot_idx], 0.0)))
+            cols['weights'].append(kmajor(rw))
+            cols['tg'].append(kmajor(
+                np.where(valid, tg_flat[slot_idx], -1e30)))
+            cols['pix'].append(np.tile(rgid, G))
             cols['red_group_ids'].append(rgid)
             continue
 
@@ -526,7 +534,9 @@ _grouped_reduce.defvjp(_gr_fwd, _gr_bwd)
 def _native_reduce_impl(npix, em, weights, group_ids):
     F, ns = em.shape[0], weights.shape[0]
     contrib = em[:, None, :] * weights              # (F, ns, N)
-    gsum = contrib.reshape(F, ns, -1, _REDUCE_G).sum(-1)
+    # k-major slots: group elements strided by n_groups, so this sum
+    # reduces over sublanes with groups filling the lanes
+    gsum = contrib.reshape(F, ns, _REDUCE_G, -1).sum(2)
     return jax.vmap(jax.vmap(lambda g: jax.ops.segment_sum(
         g, group_ids, num_segments=npix + 1,
         indices_are_sorted=True)[:npix]))(gsum)
@@ -534,7 +544,7 @@ def _native_reduce_impl(npix, em, weights, group_ids):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _native_reduce(npix, em, weights, group_ids):
-    """Blocked reduce for the 'native' sample layout: pure contiguous
+    """Blocked reduce for the 'native' sample layout: pure strided
     group sums (no gather) + the small sorted scatter. The backward
     gathers d_img per GROUP (8x fewer rows than per sample — TPU
     gathers cost ~15 cycles/row) and broadcasts within the group."""
@@ -551,8 +561,8 @@ def _nr_bwd(npix, res, d_img):
     ns = weights.shape[0]
     dpad = jnp.pad(d_img, ((0, 0), (0, 0), (0, 1)))  # padding pixel
     dg = jnp.take(dpad, group_ids, axis=2)          # (F, ns, ngroups)
-    w3 = weights.reshape(ns, -1, _REDUCE_G)
-    d_em = jnp.einsum('fsg,sgk->fgk', dg, w3).reshape(d_img.shape[0], -1)
+    w4 = weights.reshape(ns, _REDUCE_G, -1)
+    d_em = jnp.einsum('fsg,skg->fkg', dg, w4).reshape(d_img.shape[0], -1)
     f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
     return (d_em, jnp.zeros_like(weights), f0(group_ids))
 
@@ -675,6 +685,60 @@ def _compact_prediction(params, predictor, t_frames_M, crt: CompactRayArgs,
     return _shape_images(images, t_shape, crt)
 
 
+def compact_lightcurve(params, predictor, t_frames_M, crt: CompactRayArgs,
+                       fused=False):
+    """Lightcurve directly from compact samples: lc = em @ weights^T.
+
+    The 'lc' loss (the ALMA production loss) sums the image over pixels
+    — so the per-pixel reduction (grouped sums + a 750k-row scatter,
+    ~2 ms/step at the polarized flagship shape) is dead weight: the
+    per-Stokes totals are ONE (F, N) @ (N, ns) matmul on the MXU, and
+    its VJP is the transposed matmul. loss_fn_image routes compact 'lc'
+    losses here; the per-pixel image path still feeds the aux images
+    (XLA dead-code-eliminates it inside the gradient step, where aux is
+    discarded).
+    """
+    t_shape = jnp.shape(t_frames_M)
+
+    if crt.mesh is not None:
+        import dataclasses as dc
+        from jax.sharding import PartitionSpec as P
+        mesh, ax = crt.mesh, crt.shard_axis
+        t_flat = jnp.reshape(jnp.asarray(t_frames_M), (-1,))
+        leaves = dict(coords=crt.coords, weights=crt.weights,
+                      t_geos_rel=crt.t_geos_rel)
+        if jnp.ndim(crt.Omega) > 0:
+            leaves['Omega'] = crt.Omega
+
+        def spec_of(x):
+            return P(*([None] * (jnp.ndim(x) - 1) + [ax]))
+
+        specs = {k: spec_of(v) for k, v in leaves.items()}
+
+        def local_fn(params, t_flat, t_inj, omega_rep, lv):
+            local = dc.replace(crt, t_injection=t_inj, mesh=None,
+                               Omega=lv.get('Omega', omega_rep),
+                               **{k: v for k, v in lv.items()
+                                  if k != 'Omega'})
+            em = _compact_emission(params, predictor, t_flat, local,
+                                   fused)
+            return jax.lax.psum(em @ local.weights.T, ax)
+
+        omega_rep = crt.Omega if jnp.ndim(crt.Omega) == 0 else 0.0
+        fn = jax.shard_map(local_fn, mesh=mesh,
+                           in_specs=(P(), P(), P(), P(), specs),
+                           out_specs=P(), check_vma=False)
+        lc = fn(params, t_flat, crt.t_injection, omega_rep, leaves)
+    else:
+        em = _compact_emission(params, predictor, t_frames_M, crt, fused)
+        lc = em @ crt.weights.T                       # (F, nstokes)
+
+    lc = lc.reshape(*t_shape, crt.num_stokes)
+    if not crt.polarized:
+        lc = lc[..., 0]
+    return lc
+
+
 def image_plane_prediction(params, predictor, t_frames_M,
                            rt, fused=False):
     """Emission -> (polarized) image-plane frames
@@ -706,7 +770,14 @@ def loss_fn_image(params, predictor, target, sigma, offset, t_frames_M,
     if dtype == 'full':
         loss = jnp.sum(jnp.abs((images - target - offset) / sigma) ** 2)
     elif dtype == 'lc':
-        lightcurve = images.sum(axis=(-1, -2))
+        if isinstance(rt, CompactRayArgs):
+            # one matmul instead of the per-pixel reduce + pixel sum
+            # (bit-different only by float reassociation); the aux
+            # images above are dead code inside the gradient step
+            lightcurve = compact_lightcurve(params, predictor,
+                                            t_frames_M, rt, fused=fused)
+        else:
+            lightcurve = images.sum(axis=(-1, -2))
         loss = jnp.sum(jnp.abs((lightcurve - target - offset) / sigma) ** 2)
     else:
         raise ValueError(f'image dtype ({dtype}) not supported')

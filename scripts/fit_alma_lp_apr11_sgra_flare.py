@@ -94,8 +94,8 @@ def main():
             # ensemble) puts the whole fit — including the in-scan
             # per-step variant draw — on the fused scan-chunked path
             from bhnerf_tpu.train.step import compact_ensemble_args
-            raytracing_args = compact_ensemble_args(raytracing_args,
-                                                    predictor)
+            raytracing_args = compact_ensemble_args(
+                raytracing_args, predictor, layout='gather')
 
         for seed in tqdm(seeds, desc='seed', leave=False):
             runname = basename.format(inclination, seed)

@@ -114,8 +114,8 @@ def main():
             # uniform compaction keeps the sub-pixel ensemble on the
             # fused scan-chunked path (variant drawn in-scan)
             from bhnerf_tpu.train.step import compact_ensemble_args
-            raytracing_args = compact_ensemble_args(raytracing_args,
-                                                    predictor)
+            raytracing_args = compact_ensemble_args(
+                raytracing_args, predictor, layout='gather')
 
         for seed in tqdm(seeds, desc='seed', leave=False):
             runname = basename.format(inclination, seed)

@@ -52,12 +52,12 @@ def main():
         num_variants = 10
         if '--variants' in sys.argv:
             num_variants = int(sys.argv[sys.argv.index('--variants') + 1])
+        layout = 'gather' if '--packed' in sys.argv else 'auto'
         rt_list = [bench_lib.synthetic_polarized_rt(128, 100, fov,
                                                     predictor, seed=s)
                    for s in range(num_variants)]
-        crt = stack_ensemble(compact_ensemble_args(rt_list, predictor))
-        if num_variants == 1:
-            crt = compact_ensemble_args(rt_list, predictor)[0]
+        built = compact_ensemble_args(rt_list, predictor, layout=layout)
+        crt = built[0] if num_variants == 1 else stack_ensemble(built)
         target = jnp.asarray(rng.random((nt, 3), dtype=np.float32))
         t_all = jnp.asarray(np.linspace(0.0, 1.0, nt, dtype=np.float32))
         kind_kwargs = dict(kind='image', dtype='lc')

@@ -256,3 +256,34 @@ def test_native_layout_ensemble_uniform(setup):
     assert len({c.coords.shape for c in crt_list}) == 1
     stacked = stack_ensemble(crt_list)
     assert stacked.coords.shape[0] == 2
+
+
+def test_compact_lightcurve_matmul_matches_image_sum(setup):
+    """The direct lc = em @ W^T path equals summing the per-pixel images
+    (values and parameter gradients), polarized and unpolarized."""
+    from bhnerf_tpu.train.step import compact_lightcurve
+    predictor, params, rt, rt_scalar, t_frames_M = setup
+    for rt_i in (rt, rt_scalar):
+        crt = compact_raytracing_args(rt_i, predictor)
+
+        def lc_images(params):
+            img = image_plane_prediction(params, predictor, t_frames_M,
+                                         crt)
+            return img.sum(axis=(-1, -2))
+
+        def lc_direct(params):
+            return compact_lightcurve(params, predictor, t_frames_M, crt)
+
+        a = np.asarray(lc_images(params))
+        b = np.asarray(lc_direct(params))
+        scale = np.abs(a).max() + 1e-12
+        np.testing.assert_allclose(b / scale, a / scale, atol=2e-5)
+
+        g_a = jax.grad(lambda p: jnp.sum(lc_images(p) ** 2))(params)
+        g_b = jax.grad(lambda p: jnp.sum(lc_direct(p) ** 2))(params)
+        for k in g_a:
+            ga, gb = np.asarray(g_a[k]['kernel']), \
+                np.asarray(g_b[k]['kernel'])
+            gs = np.abs(ga).max() + 1e-12
+            np.testing.assert_allclose(gb / gs, ga / gs, atol=1e-4,
+                                       err_msg=k)
