@@ -875,6 +875,25 @@ def tv_loss(params, predictor, fov, resolution=32):
 # ---------------------------------------------------------------------------
 # jitted steps
 # ---------------------------------------------------------------------------
+def _take_frames(x, indices):
+    """Select a frame batch from a device-resident full-movie tensor.
+
+    For wide rows jnp.take lowers to XLA:TPU's "mini-gather", which
+    stages the ENTIRE array through scratch memory on every call —
+    measured 0.8 ms/step re-copying the (nt, 2, nvis, npix^2) EHT
+    operator (more than the fused MLP forward, for a 6-row pick).
+    Unrolled dynamic slices read only the selected rows. Narrow rows
+    keep the single gather op (the full-array copy is then trivial and
+    one op beats `batchsize` slices).
+    """
+    if x.ndim >= 2 and x.size // x.shape[0] >= (1 << 15):
+        rows = [jax.lax.dynamic_index_in_dim(x, indices[j], axis=0,
+                                             keepdims=False)
+                for j in range(indices.shape[0])]
+        return jnp.stack(rows)
+    return jnp.take(x, indices, axis=0)
+
+
 @functools.lru_cache(maxsize=64)
 def make_step_fns(predictor, kind='image', dtype='full', donate_state=False,
                   fused=False, gather=False, tv_scale=0.0, tv_fov=None,
@@ -910,7 +929,7 @@ def make_step_fns(predictor, kind='image', dtype='full', donate_state=False,
     if gather:
         def compute_batch_loss(params, target, sigma, third, t_frames,
                                indices, rt, scale):
-            take = lambda x: jnp.take(x, indices, axis=0)
+            take = lambda x: _take_frames(x, indices)
             return compute_loss(params, take(target), take(sigma),
                                 take(third), take(t_frames), rt, scale)
 
@@ -980,7 +999,7 @@ def make_scan_step(predictor, kind='image', dtype='full', fused=False,
 
     def compute_loss(params, target, sigma, third, t_frames, indices, rt,
                      scale):
-        take = lambda x: jnp.take(x, indices, axis=0)
+        take = lambda x: _take_frames(x, indices)
         t_frames_M = rt.frame_times_M(take(t_frames))
         loss, aux = loss_fn(params, predictor, take(target), take(sigma),
                             take(third), t_frames_M, rt, scale, dtype,
