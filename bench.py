@@ -157,6 +157,54 @@ def bench_alma_shape(predictor_base, mark, num_variants=10, chunk=100):
     }
 
 
+def bench_eht_step(predictor, geos, rt, crt, t_frames_hr, mark,
+                   chunk=250):
+    """Visibility-loss (north-star) training-step throughput: ngEHT
+    thermal-noise synthesis -> complex-vis chi^2, compact+fused, scanned.
+    Same geometry/predictor as the headline image workload so the two
+    steps/s are directly comparable."""
+    import jax
+
+    from bhnerf_tpu import constants, observation, units
+    from bhnerf_tpu.train import TrainState, TrainStep, make_optimizer
+    from bhnerf_tpu.train.step import make_scan_step
+
+    nt = len(t_frames_hr)
+    num = geos.num_alpha
+    rng = np.random.default_rng(0)
+    movie = rng.random((nt, num, num), dtype=np.float32)
+    array = observation.load_txt(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), 'eht_arrays',
+        'ngEHT.txt'))
+    obs_empty = observation.empty_eht_obs(array, nt=nt, tint=30.0)
+    fov_M = float(geos.alpha.max() - geos.alpha.min())
+    fov_rad = float(fov_M * constants.GM_c2(constants.sgra_mass).value
+                    / constants.sgra_distance.to('m').value)
+    obs = observation.observe_same(movie, np.asarray(t_frames_hr),
+                                   fov_rad / num, obs_empty,
+                                   thermal_noise=True, seed=0)
+    train_step = TrainStep.eht(
+        units.Quantity(np.asarray(t_frames_hr, np.float32), 'hr'), obs,
+        fov_rad, num, predictor, dtype='vis', fused=True)
+    scan_fn = make_scan_step(batchsize=6, chunk=chunk,
+                             **train_step.scan_meta)
+    state = TrainState.create(predictor.init_params(seed=0),
+                              make_optimizer(50000))
+    dev_args = train_step.args[0].device_args
+    state, losses = scan_fn(state, *dev_args, jax.random.PRNGKey(0),
+                            crt, 1.0)
+    jax.block_until_ready(losses)
+    t0 = time.perf_counter()
+    for i in range(2):
+        state, losses = scan_fn(state, *dev_args,
+                                jax.random.PRNGKey(1 + i), crt, 1.0)
+    jax.block_until_ready(losses)
+    steps_per_sec = 2 * chunk / (time.perf_counter() - t0)
+    mark(f'eht (vis-loss) path: {steps_per_sec:.2f} steps/s')
+    return {'eht_steps_per_sec': round(steps_per_sec, 2),
+            'eht_nvis_per_frame': int(dev_args[2].shape[-2])}
+
+
 def main():
     import dataclasses
 
@@ -284,6 +332,15 @@ def main():
         mark(f'alma-shape bench unavailable ({type(e).__name__}: {e})')
         alma_keys = {}
 
+    # north-star EHT (visibility-loss) step on the same geometry
+    try:
+        eht_keys = bench_eht_step(
+            predictor, geos, rt, crt,
+            np.linspace(4.0, 15.5, nt).astype(np.float32), mark)
+    except Exception as e:  # pragma: no cover - hardware dependent
+        mark(f'eht bench unavailable ({type(e).__name__}: {e})')
+        eht_keys = {}
+
     # measured baseline: dense pure-XLA path, reference semantics (every
     # ray sample through the MLP, stock XLA fusion, f32)
     mark('compiling dense XLA baseline')
@@ -321,6 +378,7 @@ def main():
         'chip': chip,
         'compute_dtype': compute_dtype,
         **alma_keys,
+        **eht_keys,
     }))
     print(f'# steps/sec: {best:.2f} (per-dispatch {steps_per_sec:.2f}, '
           f'dense XLA baseline {base_steps_per_sec:.2f})  backend: '

@@ -294,6 +294,9 @@ class Observation:
               (nt,[pol,]nvis,npix^2) complex
           'cphase': target (nt, ntri), sigma (nt, ntri) [radians], A
               (nt, 3, ntri, npix^2)
+          'logcamp'/'camp': target (nt, nquad), sigma (nt, nquad), A
+              (nt, 4, nquad, npix^2) — legs numerator (0, 1) then
+              denominator (2, 3); see _scan_quadrangles
         For 'amp', amplitudes are debiased by default:
         sqrt(max(|V|^2 - sigma^2, 0)) (ehtim chisqdata_amp debias=True),
         removing the low-SNR Rice-distribution bias of |V|.
@@ -370,7 +373,104 @@ class Observation:
                             image_size)[0]
             return target, sigma, A
 
+        if dtype in ('logcamp', 'camp'):
+            if len(pols) != 1:
+                raise ValueError(f'{dtype} supports a single pol')
+            p = pol_idx[0]
+            per_frame = []
+            for f in range(nt):
+                scans = np.nonzero(assign == f)[0]
+                rows = []
+                for s in scans:
+                    rows.extend(self._scan_quadrangles(s, p,
+                                                       debias=debias))
+                per_frame.append(rows)
+            nq = max(len(r) for r in per_frame) if per_frame else 0
+            nq = max(nq, 1)
+            target = np.zeros((nt, nq))
+            sigma = np.full((nt, nq), np.inf)
+            A = np.zeros((nt, 4, nq, image_size**2), complex)
+            for f, rows in enumerate(per_frame):
+                for k, (uvs, lca, lca_sigma) in enumerate(rows):
+                    target[f, k] = lca
+                    sigma[f, k] = lca_sigma
+                    for leg in range(4):
+                        A[f, leg, k] = dft_matrix(
+                            uvs[leg][0:1], uvs[leg][1:2], image_fov,
+                            image_size)[0]
+            if dtype == 'camp':
+                camp = np.exp(target)
+                sigma = np.where(np.isfinite(sigma), camp * sigma, np.inf)
+                target = camp
+            return target, sigma, A
+
         raise ValueError(f'dtype {dtype} not supported')
+
+    def _scan_quadrangles(self, s, pol_index, debias=True):
+        """Maximal independent set of log closure amplitudes for scan s.
+
+        Counterpart of ehtim's chisqdata_logcamp operator build
+        (reference consumes it via the chisqdata hook,
+        optimization.py:234-251). Each closure amplitude on stations
+        (i, j, k, l) is |V_ij||V_kl| / (|V_ik||V_jl|); station gain
+        amplitudes cancel because every station appears once upstairs
+        and once downstairs. Rather than hardcode one enumeration
+        convention, candidates (all 3 pairings of every 4-station
+        subset) are greedily accepted when their baseline-incidence
+        vector is linearly independent of the accepted set — an exact
+        maximal independent family (n(n-3)/2 rows for a fully-connected
+        n-station scan) by construction.
+
+        Returns rows (uvs[4], logcamp, sigma_logcamp); legs ordered
+        numerator (0, 1) then denominator (2, 3).
+        """
+        from itertools import combinations
+        valid = np.nonzero(self.mask[s])[0]
+        bl = {tuple(self.baselines[b]): b for b in valid}
+        stations = sorted({st for b in valid for st in self.baselines[b]})
+        if len(stations) < 4:
+            return []
+        bl_index = {pair: n for n, pair in enumerate(sorted(bl))}
+
+        def leg(i, j):
+            """(amp_debiased, sigma, u, v, basis_index) or None."""
+            pair = (min(i, j), max(i, j))
+            if pair not in bl:
+                return None
+            b = bl[pair]
+            amp = np.abs(self.vis[s, b, pol_index])
+            sg = self.sigma[s, b]
+            if debias:
+                amp = float(amp_debias(amp, sg))
+            if not amp > 0.0:
+                return None     # SNR too low to form a log amplitude
+            return amp, sg, self.u[s, b], self.v[s, b], bl_index[pair]
+
+        rows = []
+        basis = np.zeros((0, len(bl_index)))
+        for quad in combinations(stations, 4):
+            a, b, c, d = quad
+            for (n1, n2, d1, d2) in (((a, b), (c, d), (a, c), (b, d)),
+                                     ((a, c), (b, d), (a, d), (b, c)),
+                                     ((a, d), (b, c), (a, b), (c, d))):
+                legs = [leg(*n1), leg(*n2), leg(*d1), leg(*d2)]
+                if any(l is None for l in legs):
+                    continue
+                vec = np.zeros(len(bl_index))
+                for l, sign in zip(legs, (1.0, 1.0, -1.0, -1.0)):
+                    vec[l[4]] += sign
+                resid = vec - basis.T @ (basis @ vec)
+                norm = np.linalg.norm(resid)
+                if norm < 1e-9:
+                    continue    # dependent on already-accepted closures
+                basis = np.vstack([basis, resid / norm])
+                lca = (np.log(legs[0][0]) + np.log(legs[1][0])
+                       - np.log(legs[2][0]) - np.log(legs[3][0]))
+                lca_sigma = float(np.sqrt(sum(
+                    (l[1] / l[0]) ** 2 for l in legs)))
+                uvs = [(l[2], l[3]) for l in legs]
+                rows.append((uvs, float(lca), lca_sigma))
+        return rows
 
     def _scan_triangles(self, s, pol_index):
         """Minimal independent closure-phase set for scan s: all triangles

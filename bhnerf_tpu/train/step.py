@@ -794,6 +794,8 @@ def to_real_measurements(dtype, target, sigma, A):
                 A (..., 2, nvis, npix^2)
     * 'amp':    target (..., nvis) real; A (..., 2, nvis, npix^2)
     * 'cphase': target (..., ntri) radians; A (..., 3, 2, ntri, npix^2)
+    * 'logcamp'/'camp': target (..., nquad) real; A
+                (..., 4, 2, nquad, npix^2)
     """
     A = np.asarray(A)
     A_ri = np.stack([A.real, A.imag], axis=-3).astype(np.float32)
@@ -847,6 +849,19 @@ def loss_fn_eht(params, predictor, target, sigma, A, t_frames_M, rt,
                               jnp.where(safe, re, 1.0))
         chisq = jnp.sum(jnp.where(
             safe, (1.0 - jnp.cos(target - clphase)) / sigma**2, 0.0))
+    elif dtype in ('logcamp', 'camp'):
+        # vis_ri: (..., 4, 2, nquad): per-leg complex visibilities,
+        # legs = numerator (0, 1), denominator (2, 3)
+        amp2 = vis_ri[..., 0, :] ** 2 + vis_ri[..., 1, :] ** 2
+        # padded quads have A = 0 => amp2 = 0; log's vjp at 0 is inf
+        # even under a zero cotangent (sigma = inf): double-where
+        safe = jnp.min(amp2, axis=-2) > 1e-30
+        amp2 = jnp.where(safe[..., None, :], amp2, 1.0)
+        lca = 0.5 * (jnp.log(amp2[..., 0, :]) + jnp.log(amp2[..., 1, :])
+                     - jnp.log(amp2[..., 2, :]) - jnp.log(amp2[..., 3, :]))
+        model = jnp.exp(lca) if dtype == 'camp' else lca
+        chisq = jnp.sum(jnp.where(
+            safe, ((model - target) / sigma) ** 2, 0.0))
     else:
         raise ValueError(f'eht dtype ({dtype}) not supported')
     return scale * chisq, [images]

@@ -509,3 +509,161 @@ def test_ampcal_phasecal_independent_toggles(obs_empty):
     ratio = ph_only.vis[..., 0][m] / clean.vis[..., 0][m]
     assert (np.abs(ratio) <= 1.0 + 1e-12).all()
     assert np.abs(np.angle(ratio)).max() > 0.1  # phase errors present
+
+
+# ---------------------------------------------------------------------------
+# closure amplitudes (ehtim chisqdata_logcamp/camp counterparts)
+# ---------------------------------------------------------------------------
+def _complete_scan_obs(nst=5, seed=0, sigma=1e-3):
+    """Single fully-connected scan with random visibilities."""
+    import itertools
+    rng = np.random.default_rng(seed)
+    pairs = list(itertools.combinations(range(nst), 2))
+    nb = len(pairs)
+    vis = (rng.normal(1.0, 0.3, nb)
+           + 1j * rng.normal(0.0, 0.3, nb))
+    return obs_lib.Observation.from_uvdata(
+        time=np.full(nb, 6.0), t1=[p[0] for p in pairs],
+        t2=[p[1] for p in pairs], u=rng.normal(0, 1e9, nb),
+        v=rng.normal(0, 1e9, nb), sigma=np.full(nb, sigma), vis=vis)
+
+
+@pytest.mark.parametrize('nst', [4, 5, 6])
+def test_logcamp_count_is_maximal_independent_set(nst):
+    """A fully-connected n-station scan has n(n-3)/2 independent
+    closure amplitudes (TMS; ehtim count='min')."""
+    obs = _complete_scan_obs(nst)
+    target, sigma, A = obs.chisqdata(
+        units.Quantity([6.0], 'hr'), 'logcamp', 1e-9, 8)
+    assert np.isfinite(sigma).sum() == nst * (nst - 3) // 2
+    assert A.shape[1] == 4
+
+
+def test_logcamp_station_gain_invariance():
+    """Scaling every visibility by station amplitude gains g_i g_j
+    leaves every closure amplitude unchanged."""
+    import dataclasses
+    obs = _complete_scan_obs(6)
+    rng = np.random.default_rng(7)
+    g = rng.uniform(0.5, 2.0, 6)
+    gains = np.array([[g[i] * g[j] for (i, j) in
+                       map(tuple, obs.baselines)]])
+    corrupted = dataclasses.replace(
+        obs, vis=obs.vis * gains[..., None])
+    t_hr = units.Quantity([6.0], 'hr')
+    t0, s0, _ = obs.chisqdata(t_hr, 'logcamp', 1e-9, 8, debias=False)
+    t1, s1, _ = corrupted.chisqdata(t_hr, 'logcamp', 1e-9, 8,
+                                    debias=False)
+    finite = np.isfinite(s0)
+    assert finite.any()
+    np.testing.assert_allclose(t1[finite], t0[finite], atol=1e-10)
+
+
+def test_point_source_logcamp_zero(obs_empty):
+    """A centered point source has |V| = const: all log closure
+    amplitudes vanish (and camps are 1)."""
+    npix = 16
+    psize = 1e-10
+    movie = np.zeros((2, npix, npix))
+    movie[:, npix // 2, npix // 2] = 1.5
+    times = np.array([6.0, 10.0])
+    obs = obs_lib.observe_same(movie, times, psize, obs_empty,
+                               thermal_noise=False)
+    t_hr = units.Quantity(times, 'hr')
+    target, sigma, _ = obs.chisqdata(t_hr, 'logcamp', psize * npix,
+                                     npix, debias=False)
+    finite = np.isfinite(sigma)
+    assert finite.any()
+    np.testing.assert_allclose(target[finite], 0.0, atol=1e-8)
+    camp, csigma, _ = obs.chisqdata(t_hr, 'camp', psize * npix, npix,
+                                    debias=False)
+    np.testing.assert_allclose(camp[np.isfinite(csigma)], 1.0,
+                               atol=1e-8)
+
+
+def test_chisqdata_logcamp_consistency(obs_empty):
+    """target == log closure amplitude of A-leg model visibilities for
+    the generating image (noise off, debias off)."""
+    npix = 16
+    psize = 1e-10
+    rng = np.random.default_rng(3)
+    movie = rng.random((2, npix, npix))
+    times = np.array([6.0, 10.0])
+    obs = obs_lib.observe_same(movie, times, psize, obs_empty,
+                               thermal_noise=False)
+    target, sigma, A = obs.chisqdata(
+        units.Quantity(times, 'hr'), 'logcamp', psize * npix, npix,
+        debias=False)
+    legs = np.abs(np.einsum('tlvp,tp->tlv', A, movie.reshape(2, -1)))
+    legs = np.maximum(legs, 1e-300)    # padded rows: log(0) outside mask
+    finite = np.isfinite(sigma)
+    model = (np.log(legs[:, 0]) + np.log(legs[:, 1])
+             - np.log(legs[:, 2]) - np.log(legs[:, 3]))
+    np.testing.assert_allclose(model[finite], target[finite],
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_camp_matches_exp_logcamp(obs_empty):
+    npix = 16
+    psize = 1e-10
+    rng = np.random.default_rng(4)
+    movie = rng.random((2, npix, npix))
+    times = np.array([6.0, 10.0])
+    obs = obs_lib.observe_same(movie, times, psize, obs_empty,
+                               thermal_noise=False)
+    t_hr = units.Quantity(times, 'hr')
+    lc_t, lc_s, _ = obs.chisqdata(t_hr, 'logcamp', psize * npix, npix)
+    c_t, c_s, _ = obs.chisqdata(t_hr, 'camp', psize * npix, npix)
+    finite = np.isfinite(lc_s)
+    np.testing.assert_allclose(c_t[finite], np.exp(lc_t[finite]),
+                               rtol=1e-12)
+    np.testing.assert_allclose(c_s[finite],
+                               c_t[finite] * lc_s[finite], rtol=1e-12)
+
+
+def test_eht_logcamp_training_step(obs_empty):
+    """TrainStep.eht(dtype='logcamp') produces finite decreasing loss
+    and finite gradients through the closure-amplitude chi^2."""
+    import jax
+    from bhnerf_tpu import constants, emission
+    from bhnerf_tpu.geodesics import image_plane_geos
+    from bhnerf_tpu.models import NeRFPredictor
+    from bhnerf_tpu.train import (TrainStep, TrainState, make_optimizer,
+                                  raytracing_args)
+
+    fov_m = 16.0
+    npix = 16
+    geos = image_plane_geos(spin=0.0, inclination=np.deg2rad(60),
+                            alpha_range=(-fov_m / 2, fov_m / 2),
+                            beta_range=(-fov_m / 2, fov_m / 2), ngeo=32,
+                            num_alpha=npix, num_beta=npix, n_fine=2048)
+    hotspot = emission.generate_hotspot(
+        resolution=(32, 32, 32), rot_axis=[0, 0, 1], rot_angle=0.0,
+        orbit_radius=6.5, std=0.7, r_isco=6.0, fov=fov_m)
+    Omega = float(1 / 6.5 ** 1.5)
+    t_frames = units.Quantity(np.linspace(4.0, 15.5, 4), 'hr')
+    t_injection = -float(geos.r_o + fov_m / 4)
+    movie = np.asarray(emission.image_plane_dynamics(
+        hotspot, geos, Omega, t_frames, t_injection=t_injection,
+        t_start_obs=t_frames[0]))
+    fov_rad = 100 * np.pi / 180 / 3600 / 1e6
+    obs = obs_lib.observe_same(movie, np.asarray(t_frames.value),
+                               fov_rad / npix, obs_empty,
+                               thermal_noise=False)
+    rt = raytracing_args(geos, Omega, t_injection, t_frames[0])
+    predictor = NeRFPredictor(scale=fov_m / 2, rmax=fov_m / 2,
+                              z_width=2.0, net_depth=3, net_width=32)
+    state = TrainState.create(predictor.init_params(seed=1),
+                              make_optimizer(60, lr_init=5e-3))
+    train_step = TrainStep.eht(t_frames, obs, fov_rad, npix, predictor,
+                               dtype='logcamp')
+    np.random.seed(0)
+    losses = []
+    for _ in range(60):
+        inds = train_step.args[0].sample(4)
+        loss, state, _ = train_step(state, rt, inds)
+        losses.append(float(np.asarray(loss)))
+        assert np.isfinite(losses[-1])
+    grads = jax.tree_util.tree_leaves(state.params)
+    assert all(np.isfinite(np.asarray(g)).all() for g in grads)
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
