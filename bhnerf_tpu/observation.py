@@ -294,6 +294,8 @@ class Observation:
               (nt,[pol,]nvis,npix^2) complex
           'cphase': target (nt, ntri), sigma (nt, ntri) [radians], A
               (nt, 3, ntri, npix^2)
+          'bs': target (nt, ntri) complex bispectra, sigma (nt, ntri),
+              A as for 'cphase'
           'logcamp'/'camp': target (nt, nquad), sigma (nt, nquad), A
               (nt, 4, nquad, npix^2) — legs numerator (0, 1) then
               denominator (2, 3); see _scan_quadrangles
@@ -348,9 +350,9 @@ class Observation:
                 target, sigma, A = target[:, 0], sigma[:, 0], A[:, 0]
             return target, sigma, A
 
-        if dtype == 'cphase':
+        if dtype in ('cphase', 'bs'):
             if len(pols) != 1:
-                raise ValueError('cphase supports a single pol')
+                raise ValueError(f'{dtype} supports a single pol')
             p = pol_idx[0]
             per_frame = []
             for f in range(nt):
@@ -360,13 +362,20 @@ class Observation:
                     rows.extend(self._scan_triangles(s, p))
                 per_frame.append(rows)
             ntri = max(len(r) for r in per_frame)
-            target = np.zeros((nt, ntri))
+            target = np.zeros((nt, ntri),
+                              complex if dtype == 'bs' else float)
             sigma = np.full((nt, ntri), np.inf)
             A = np.zeros((nt, 3, ntri, image_size**2), complex)
             for f, rows in enumerate(per_frame):
-                for k, (uvs, cp, cp_sigma) in enumerate(rows):
-                    target[f, k] = cp
-                    sigma[f, k] = cp_sigma
+                for k, (uvs, bisp, cp, cp_sigma) in enumerate(rows):
+                    if dtype == 'bs':
+                        target[f, k] = bisp
+                        # sigma_|B| = |B| sqrt(sum (sigma_i/|V_i|)^2)
+                        # (ehtim chisqdata_bs error propagation)
+                        sigma[f, k] = np.abs(bisp) * cp_sigma
+                    else:
+                        target[f, k] = cp
+                        sigma[f, k] = cp_sigma
                     for leg in range(3):
                         A[f, leg, k] = dft_matrix(
                             uvs[leg][0:1], uvs[leg][1:2], image_fov,
@@ -510,7 +519,7 @@ class Observation:
                 cp_sigma = np.sqrt(np.sum((sigs / np.maximum(
                     amps, 1e-12)) ** 2))
                 uvs = [(l1[1], l1[2]), (l2[1], l2[2]), (l3[1], l3[2])]
-                rows.append((uvs, cp, cp_sigma))
+                rows.append((uvs, bisp, cp, cp_sigma))
         return rows
 
 

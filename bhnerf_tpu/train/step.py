@@ -794,6 +794,8 @@ def to_real_measurements(dtype, target, sigma, A):
                 A (..., 2, nvis, npix^2)
     * 'amp':    target (..., nvis) real; A (..., 2, nvis, npix^2)
     * 'cphase': target (..., ntri) radians; A (..., 3, 2, ntri, npix^2)
+    * 'bs':     target (..., 2, ntri) [re, im]; sigma broadcastable;
+                A (..., 3, 2, ntri, npix^2)
     * 'logcamp'/'camp': target (..., nquad) real; A
                 (..., 4, 2, nquad, npix^2)
     """
@@ -801,7 +803,7 @@ def to_real_measurements(dtype, target, sigma, A):
     A_ri = np.stack([A.real, A.imag], axis=-3).astype(np.float32)
     target = np.asarray(target)
     sigma = np.asarray(sigma, np.float32)
-    if dtype == 'vis':
+    if dtype in ('vis', 'bs'):
         target_ri = np.stack([target.real, target.imag],
                              axis=-2).astype(np.float32)
         sigma_ri = np.broadcast_to(sigma[..., None, :],
@@ -832,7 +834,7 @@ def loss_fn_eht(params, predictor, target, sigma, A, t_frames_M, rt,
         amp = jnp.sqrt(vis_ri[..., 0, :] ** 2 + vis_ri[..., 1, :] ** 2
                        + 1e-30)
         chisq = jnp.sum(((amp - target) / sigma) ** 2)
-    elif dtype == 'cphase':
+    elif dtype in ('cphase', 'bs'):
         # vis_ri: (..., 3, 2, ntri): complex triple product done in reals
         re0, im0 = vis_ri[..., 0, 0, :], vis_ri[..., 0, 1, :]
         re1, im1 = vis_ri[..., 1, 0, :], vis_ri[..., 1, 1, :]
@@ -841,6 +843,12 @@ def loss_fn_eht(params, predictor, target, sigma, A, t_frames_M, rt,
         im01 = re0 * im1 + im0 * re1
         re = re01 * re2 - im01 * im2
         im = re01 * im2 + im01 * re2
+        if dtype == 'bs':
+            # complex-bispectrum chi^2 (ehtim chisq_bs): padded rows have
+            # sigma = inf so both components contribute exactly zero
+            bs_ri = jnp.stack([re, im], axis=-2)
+            return scale * jnp.sum(((bs_ri - target) / sigma) ** 2), \
+                [images]
         # padded triangle rows have A=0 => (re, im) = (0, 0), and
         # arctan2's vjp at the origin is NaN even under a zero cotangent
         # (sigma=inf): double-where so padding contributes exactly zero

@@ -1,4 +1,5 @@
-"""One-off drive: logcamp training step, fused path, real chip."""
+"""One-off drive: closure-loss training steps (logcamp / bs), fused
+path, real chip. Usage: python drive_logcamp_tpu.py [dtype]"""
 import os
 import sys
 
@@ -45,8 +46,9 @@ def main():
     obs = observation.observe_same(movie, np.asarray(t_frames.value),
                                    fov_rad / 64, obs_empty,
                                    thermal_noise=True, seed=0)
+    dtype = sys.argv[1] if len(sys.argv) > 1 else 'logcamp'
     train_step = TrainStep.eht(t_frames, obs, fov_rad, 64, predictor,
-                               dtype='logcamp', fused=True)
+                               dtype=dtype, fused=True)
     scan_fn = make_scan_step(batchsize=6, chunk=50,
                              **train_step.scan_meta)
     state = TrainState.create(predictor.init_params(seed=0),
@@ -61,7 +63,7 @@ def main():
     assert np.isfinite(losses).all(), losses
     grads = jax.tree_util.tree_leaves(jax.device_get(state.params))
     assert all(np.isfinite(g).all() for g in grads)
-    print(f'logcamp fused scan on {jax.devices()[0].device_kind}: '
+    print(f'{dtype} fused scan on {jax.devices()[0].device_kind}: '
           f'loss {losses[0]:.4g} -> {losses[-1]:.4g}, '
           f'all finite over {losses.size} steps')
     assert losses[-20:].mean() < losses[:20].mean()
