@@ -91,10 +91,12 @@ class Optimizer:
         through NaNs; checking every step would force a host sync).
 
         scan_chunk > 0 runs up to `scan_chunk` steps per dispatch via
-        lax.scan (step.make_scan_step) when the step is scannable
-        (single loss, single sub-pixel-ray variant; mesh or not —
-        the jitted scan propagates input shardings): removes the
-        per-step dispatch round-trip. Chunk boundaries align to
+        lax.scan (step.make_scan_step, or make_composed_scan_step for
+        `+`-composed multi-loss steps with matching frame counts;
+        sub-pixel-ray ensembles ride along via in-scan variant draws;
+        mesh or not — the jitted scan propagates input shardings):
+        removes the per-step dispatch round-trip. Chunk boundaries
+        align to
         every save_period / LogFn.log_period multiple, so checkpoints
         and log callbacks fire at exactly the steps the per-step loop
         would have. Frame batches are sampled with jax PRNG (seeded by
@@ -109,8 +111,15 @@ class Optimizer:
         self.raytracing_args = raytracing_args
 
         rt_list = np.atleast_1d(raytracing_args)
-        scannable = (scan_chunk and train_step.scan_meta is not None
-                     and train_step.num_losses == 1)
+        scannable = bool(scan_chunk) and train_step.scan_metas is not None
+        if scannable and train_step.num_losses > 1 and len(
+                {a.num_frames for a in train_step.args}) > 1:
+            import warnings
+            warnings.warn(
+                'composed losses with differing frame counts are not '
+                'scannable (shared frame batch); falling back to the '
+                'per-step loop')
+            scannable = False
         if scannable and len(rt_list) > 1:
             # sub-pixel-ray ensembles ride the scan path too: stack the
             # variants and let the scan body draw one per step
@@ -153,10 +162,10 @@ class Optimizer:
     def _run_scan(self, batchsize, train_step, rt, scan_chunk, verbose,
                   num_variants=1):
         from tqdm.auto import tqdm
-        args = train_step.args[0]
         rt_mesh = getattr(rt, 'mesh', None)
-        if rt_mesh is not None and args.mesh is None:
-            args.ensure_placed(rt_mesh)
+        for args in train_step.args:
+            if rt_mesh is not None and args.mesh is None:
+                args.ensure_placed(rt_mesh)
         # python float, not np.float64: a weak-typed scalar matches any
         # pre-compiled executable; an f64 scalar forces a fresh compile
         scale = float(train_step.scale[0])
@@ -184,12 +193,25 @@ class Optimizer:
             while step < self.final_step - 1:
                 chunk = min(scan_chunk, self.final_step - 1 - step,
                             next_boundary(step) - step)
-                scan_fn = step_lib.make_scan_step(
-                    batchsize=batchsize, chunk=int(chunk),
-                    num_variants=num_variants, **train_step.scan_meta)
                 key, sub = jax.random.split(key)
-                self.state, losses = scan_fn(self.state, *args.device_args,
-                                             sub, rt, scale)
+                if train_step.num_losses == 1:
+                    scan_fn = step_lib.make_scan_step(
+                        batchsize=batchsize, chunk=int(chunk),
+                        num_variants=num_variants, **train_step.scan_meta)
+                    self.state, losses = scan_fn(
+                        self.state, *train_step.args[0].device_args,
+                        sub, rt, scale)
+                else:
+                    scan_fn = step_lib.make_composed_scan_step(
+                        batchsize=batchsize, chunk=int(chunk),
+                        num_variants=num_variants,
+                        metas=tuple(tuple(sorted(m.items()))
+                                    for m in train_step.scan_metas),
+                        scales=tuple(float(s) for s in train_step.scale))
+                    flat = [t for a in train_step.args
+                            for t in a.device_args]
+                    self.state, losses = scan_fn(self.state, *flat, sub,
+                                                 rt)
                 step += chunk
                 self.step = step
                 self.loss = losses[-1]
@@ -225,9 +247,13 @@ class TrainStep:
         self.grad_fn = list(np.atleast_1d(grad_fn))
         self.test_fn = list(np.atleast_1d(test_fn))
         self.scale = list(np.atleast_1d(scale))
-        # kwargs for step.make_scan_step (chunked lax.scan training);
-        # None for composed/mesh steps, which use the per-step loop
-        self.scan_meta = scan_meta
+        # per-loss kwargs for step.make_scan_step /
+        # make_composed_scan_step (chunked lax.scan training); None
+        # disables the scan path (falls back to the per-step loop)
+        if isinstance(scan_meta, dict):
+            scan_meta = [scan_meta]
+        self.scan_metas = list(scan_meta) if scan_meta is not None \
+            else None
         if any(arg.t_units != units.hr for arg in self.args):
             raise ValueError('only hr units supported')
         sizes = {len(self.dtype), len(self.args), len(self.grad_fn),
@@ -276,11 +302,23 @@ class TrainStep:
                 total_images = total_images + images / len(raytracing_args)
         return total_loss, state, total_images
 
+    @property
+    def scan_meta(self):
+        """make_scan_step kwargs when this is a single scannable loss
+        (the public single-loss surface used by bench/driver scripts);
+        None for composed or non-scannable steps."""
+        if self.scan_metas is not None and len(self.scan_metas) == 1:
+            return self.scan_metas[0]
+        return None
+
     def __add__(self, other):
+        metas = (self.scan_metas + other.scan_metas
+                 if self.scan_metas is not None
+                 and other.scan_metas is not None else None)
         return TrainStep(self.dtype + other.dtype, self.args + other.args,
                          self.grad_fn + other.grad_fn,
                          self.test_fn + other.test_fn,
-                         self.scale + other.scale, scan_meta=None)
+                         self.scale + other.scale, scan_meta=metas)
 
     @classmethod
     def image(cls, t_frames, target, predictor, sigma=1.0, offset=0.0,
@@ -303,7 +341,7 @@ class TrainStep:
             tv_resolution=tv_resolution)
         # scan-chunked training is mesh-agnostic (the jitted scan
         # propagates input shardings), so meta is set with or without a
-        # mesh; only composed multi-loss steps fall back (scan_meta=None)
+        # mesh; composed steps concatenate these per-loss metas
         meta = dict(
             predictor=predictor, kind='image', dtype=dtype, fused=fused,
             tv_scale=tv_scale, tv_fov=tv_fov, tv_resolution=tv_resolution)

@@ -1015,8 +1015,8 @@ def make_scan_step(predictor, kind='image', dtype='full', fused=False,
     same frame-batch chain.
 
     Returns jit fn (state, target, sigma, third, t_frames, key, rt,
-    scale) -> (state, losses (chunk,)). Single-loss only; Optimizer.run
-    falls back to the per-step loop otherwise.
+    scale) -> (state, losses (chunk,)). Single-loss only;
+    make_composed_scan_step is the multi-loss counterpart.
     """
     loss_fn = loss_fn_image if kind == 'image' else loss_fn_eht
 
@@ -1051,6 +1051,88 @@ def make_scan_step(predictor, kind='image', dtype='full', fused=False,
                     state.params, target, sigma, third, t_frames, indices,
                     rt_i, scale)
             return state.apply_gradients(grads), loss
+
+        keys = jax.random.split(key, chunk)
+        return jax.lax.scan(body, state, keys)
+
+    return scan_steps
+
+
+@functools.lru_cache(maxsize=32)
+def make_composed_scan_step(batchsize=6, chunk=100, num_variants=1,
+                            metas=(), scales=()):
+    """Scan-chunked training for COMPOSED multi-loss TrainSteps.
+
+    metas: one frozen (sorted key/value items) tuple per loss — the
+    same kwargs each loss would pass to make_scan_step. Semantics match
+    the per-step composed loop exactly: each scan step draws ONE shared
+    frame batch and sub-pixel-ray variant, then applies every loss's
+    gradients SEQUENTIALLY in composition order (the reference also
+    updates state once per loss per step — optimization.py:176).
+    scales are baked in (python floats) so the jit signature stays
+    (state, *per_loss_args, key, rt) with per_loss_args the
+    concatenated (target_i, sigma_i, third_i, t_frames_i) quads.
+
+    All losses share the frame-batch indices, so their frame counts
+    must agree (Optimizer.run falls back to the per-step loop
+    otherwise).
+    """
+    metas = [dict(m) for m in metas]
+    if len(scales) != len(metas):
+        raise ValueError('need one scale per loss')
+
+    def make_loss(m):
+        loss_fn = (loss_fn_image if m.get('kind', 'image') == 'image'
+                   else loss_fn_eht)
+        predictor = m['predictor']
+        dtype = m['dtype']
+        fused = m.get('fused', False)
+        tv_scale = m.get('tv_scale', 0.0)
+        tv_fov = m.get('tv_fov')
+        tv_resolution = m.get('tv_resolution', 32)
+
+        def compute(params, target, sigma, third, t_frames, indices, rt,
+                    scale):
+            take = lambda x: _take_frames(x, indices)
+            t_frames_M = rt.frame_times_M(take(t_frames))
+            loss, aux = loss_fn(params, predictor, take(target),
+                                take(sigma), take(third), t_frames_M,
+                                rt, scale, dtype, fused=fused)
+            if tv_scale:
+                fov = (2.0 * predictor.scale if tv_fov is None
+                       else tv_fov)
+                loss = loss + tv_scale * tv_loss(params, predictor, fov,
+                                                 tv_resolution)
+            return loss, aux
+
+        return compute
+
+    loss_closures = [make_loss(m) for m in metas]
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def scan_steps(state, *args):
+        *loss_args, key, rt = args
+        assert len(loss_args) == 4 * len(loss_closures)
+        nt = loss_args[0].shape[0]
+
+        def body(state, k):
+            k_batch, k_var = jax.random.split(k)
+            indices = jax.random.choice(k_batch, nt, (batchsize,),
+                                        replace=False)
+            if num_variants > 1:
+                var = jax.random.randint(k_var, (), 0, num_variants)
+                rt_i = jax.tree_util.tree_map(lambda x: x[var], rt)
+            else:
+                rt_i = rt
+            total = 0.0
+            for i, compute in enumerate(loss_closures):
+                quad = loss_args[4 * i:4 * i + 4]
+                (loss, _), grads = jax.value_and_grad(
+                    compute, has_aux=True)(
+                        state.params, *quad, indices, rt_i, scales[i])
+                state = state.apply_gradients(grads)
+                total = total + loss
+            return state, total
 
         keys = jax.random.split(key, chunk)
         return jax.lax.scan(body, state, keys)

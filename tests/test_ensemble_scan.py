@@ -136,3 +136,93 @@ def test_optimizer_runs_ensemble_scan(ensemble):
             log_fns=[Snoop()], verbose=False, scan_chunk=50)
     assert len(first) == 4 and np.isfinite(first).all()
     assert first[-1] < first[0]
+
+
+def test_composed_scan_matches_per_step_loop(ensemble):
+    """Composed 'full' + 'lc' losses on the scan path are loss-equal,
+    step for step, to the sequential per-loss gather-in-jit loop
+    replaying the same PRNG chain (VERDICT r2 next #2, composed part)."""
+    from bhnerf_tpu.train.step import make_composed_scan_step
+    predictor, crt_list, t_frames, target = ensemble
+    crt = crt_list[0]
+    chunk, batchsize = 5, 4
+    tj = jnp.asarray(target)
+    full_batch = (tj, jnp.ones_like(tj), jnp.zeros_like(tj),
+                  jnp.asarray(t_frames))
+    lc = tj.sum(axis=(-1, -2))
+    lc_batch = (lc, jnp.ones_like(lc), jnp.zeros_like(lc),
+                jnp.asarray(t_frames))
+    key = jax.random.PRNGKey(9)
+    scales = (1.0, 0.5)
+
+    meta_full = dict(predictor=predictor, kind='image', dtype='full',
+                     fused=False)
+    meta_lc = dict(predictor=predictor, kind='image', dtype='lc',
+                   fused=False)
+    scan_fn = make_composed_scan_step(
+        batchsize=batchsize, chunk=chunk,
+        metas=(tuple(sorted(meta_full.items())),
+               tuple(sorted(meta_lc.items()))), scales=scales)
+    state = TrainState.create(predictor.init_params(0), make_optimizer(20))
+    state, losses = scan_fn(state, *full_batch, *lc_batch, key, crt)
+    losses = np.asarray(losses)
+
+    # sequential per-loss emulation of the identical chain
+    step_full, _ = make_step_fns(predictor, kind='image', dtype='full',
+                                 gather=True)
+    step_lc, _ = make_step_fns(predictor, kind='image', dtype='lc',
+                               gather=True)
+    state_e = TrainState.create(predictor.init_params(0),
+                                make_optimizer(20))
+    keys = jax.random.split(key, chunk)
+    emul = []
+    for i in range(chunk):
+        k_batch, _ = jax.random.split(keys[i])
+        indices = np.asarray(jax.random.choice(
+            k_batch, target.shape[0], (batchsize,), replace=False),
+            np.int32)
+        l1, state_e, _ = step_full(state_e, *full_batch, indices, crt,
+                                   scales[0])
+        l2, state_e, _ = step_lc(state_e, *lc_batch, indices, crt,
+                                 scales[1])
+        emul.append(float(np.asarray(l1)) + float(np.asarray(l2)))
+    np.testing.assert_allclose(losses, np.asarray(emul), rtol=2e-5)
+
+
+def test_optimizer_runs_composed_scan(ensemble, monkeypatch):
+    """Optimizer.run routes a `+`-composed TrainStep through
+    make_composed_scan_step and trains to a decreasing loss."""
+    from bhnerf_tpu.train import Optimizer, TrainStep
+    from bhnerf_tpu.train import step as step_lib
+    predictor, crt_list, t_frames, target = ensemble
+    crt = crt_list[0]
+    t_hr = units.Quantity(t_frames, 'hr')
+    lc = target.sum(axis=(-1, -2))
+    ts = (TrainStep.image(t_hr, target, predictor, dtype='full')
+          + TrainStep.image(t_hr, lc, predictor, dtype='lc', scale=0.5))
+    assert ts.scan_metas is not None and len(ts.scan_metas) == 2
+    assert ts.scan_meta is None   # single-loss surface stays single
+
+    calls = []
+    orig = step_lib.make_composed_scan_step
+
+    def spy(*a, **k):
+        calls.append(k.get('chunk'))
+        return orig(*a, **k)
+
+    monkeypatch.setattr(step_lib, 'make_composed_scan_step', spy)
+    opt = Optimizer({'num_iters': 100, 'lr_init': 3e-3, 'seed': 4},
+                    predictor, crt, checkpoint_dir='')
+    first = []
+
+    class Snoop:
+        log_period = 25
+
+        def __call__(self, o):
+            first.append(float(np.asarray(o.loss)))
+
+    opt.run(batchsize=4, train_step=ts, raytracing_args=crt,
+            log_fns=[Snoop()], verbose=False, scan_chunk=25)
+    assert calls, 'composed scan path was not taken'
+    assert len(first) == 4 and np.isfinite(first).all()
+    assert first[-1] < first[0]
