@@ -92,11 +92,10 @@ class Optimizer:
 
         scan_chunk > 0 runs up to `scan_chunk` steps per dispatch via
         lax.scan (step.make_scan_step, or make_composed_scan_step for
-        `+`-composed multi-loss steps with matching frame counts;
-        sub-pixel-ray ensembles ride along via in-scan variant draws;
-        mesh or not — the jitted scan propagates input shardings):
-        removes the per-step dispatch round-trip. Chunk boundaries
-        align to
+        `+`-composed multi-loss steps; sub-pixel-ray ensembles ride
+        along via in-scan variant draws; mesh or not — the jitted scan
+        propagates input shardings): removes the per-step dispatch
+        round-trip. Chunk boundaries align to
         every save_period / LogFn.log_period multiple, so checkpoints
         and log callbacks fire at exactly the steps the per-step loop
         would have. Frame batches are sampled with jax PRNG (seeded by
@@ -112,14 +111,6 @@ class Optimizer:
 
         rt_list = np.atleast_1d(raytracing_args)
         scannable = bool(scan_chunk) and train_step.scan_metas is not None
-        if scannable and train_step.num_losses > 1 and len(
-                {a.num_frames for a in train_step.args}) > 1:
-            import warnings
-            warnings.warn(
-                'composed losses with differing frame counts are not '
-                'scannable (shared frame batch); falling back to the '
-                'per-step loop')
-            scannable = False
         if scannable and len(rt_list) > 1:
             # sub-pixel-ray ensembles ride the scan path too: stack the
             # variants and let the scan body draw one per step
@@ -260,6 +251,16 @@ class TrainStep:
                  len(self.test_fn), len(self.scale)}
         assert sizes == {len(self.dtype)}, 'input list sizes are not equal'
         self.num_losses = len(self.dtype)
+        if len({a.num_frames for a in self.args}) > 1:
+            # batch indices are shared across losses (reference
+            # optimization.py:176 indexes every args[i] with one draw),
+            # so differing frame counts would index out of bounds —
+            # silently (clamped) under jit. Refuse loudly instead.
+            raise ValueError(
+                'composed losses must share the frame count: got '
+                f'{[a.num_frames for a in self.args]} frames per loss '
+                '(frame-batch indices are drawn once per step and '
+                'applied to every loss)')
 
     def __call__(self, state, raytracing_args, indices, update_state=True):
         total_loss, total_images = 0.0, 0.0

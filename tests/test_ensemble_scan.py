@@ -226,3 +226,70 @@ def test_optimizer_runs_composed_scan(ensemble, monkeypatch):
     assert calls, 'composed scan path was not taken'
     assert len(first) == 4 and np.isfinite(first).all()
     assert first[-1] < first[0]
+
+def test_composed_ensemble_scan_matches_per_step_loop(ensemble):
+    """Composed losses AND a sub-pixel ensemble together (the production
+    ALMA shape with an extra prior term): one shared frame batch + one
+    shared variant draw per step, sequential per-loss updates."""
+    from bhnerf_tpu.train.step import make_composed_scan_step
+    predictor, crt_list, t_frames, target = ensemble
+    stacked = stack_ensemble(crt_list)
+    V = len(crt_list)
+    chunk, batchsize = 5, 4
+    tj = jnp.asarray(target)
+    full_batch = (tj, jnp.ones_like(tj), jnp.zeros_like(tj),
+                  jnp.asarray(t_frames))
+    lc = tj.sum(axis=(-1, -2))
+    lc_batch = (lc, jnp.ones_like(lc), jnp.zeros_like(lc),
+                jnp.asarray(t_frames))
+    key = jax.random.PRNGKey(13)
+    scales = (1.0, 0.25)
+
+    meta_full = dict(predictor=predictor, kind='image', dtype='full',
+                     fused=False)
+    meta_lc = dict(predictor=predictor, kind='image', dtype='lc',
+                   fused=False)
+    scan_fn = make_composed_scan_step(
+        batchsize=batchsize, chunk=chunk, num_variants=V,
+        metas=(tuple(sorted(meta_full.items())),
+               tuple(sorted(meta_lc.items()))), scales=scales)
+    state = TrainState.create(predictor.init_params(0), make_optimizer(20))
+    state, losses = scan_fn(state, *full_batch, *lc_batch, key, stacked)
+    losses = np.asarray(losses)
+
+    step_full, _ = make_step_fns(predictor, kind='image', dtype='full',
+                                 gather=True)
+    step_lc, _ = make_step_fns(predictor, kind='image', dtype='lc',
+                               gather=True)
+    state_e = TrainState.create(predictor.init_params(0),
+                                make_optimizer(20))
+    keys = jax.random.split(key, chunk)
+    emul = []
+    for i in range(chunk):
+        k_batch, k_var = jax.random.split(keys[i])
+        indices = np.asarray(jax.random.choice(
+            k_batch, target.shape[0], (batchsize,), replace=False),
+            np.int32)
+        var = int(jax.random.randint(k_var, (), 0, V))
+        l1, state_e, _ = step_full(state_e, *full_batch, indices,
+                                   crt_list[var], scales[0])
+        l2, state_e, _ = step_lc(state_e, *lc_batch, indices,
+                                 crt_list[var], scales[1])
+        emul.append(float(np.asarray(l1)) + float(np.asarray(l2)))
+    np.testing.assert_allclose(losses, np.asarray(emul), rtol=2e-5)
+
+
+def test_composed_mismatched_frame_counts_raises(ensemble):
+    """Composed losses with differing frame counts cannot share a frame
+    batch (indices are drawn once per step and applied to every loss —
+    reference optimization.py:176): composition must refuse loudly
+    instead of silently clamping out-of-bounds frame indices."""
+    from bhnerf_tpu.train import TrainStep
+    predictor, _, t_frames, target = ensemble
+    ts_a = TrainStep.image(units.Quantity(t_frames, 'hr'), target,
+                           predictor, dtype='full')
+    lc_short = target[:4].sum(axis=(-1, -2))
+    ts_b = TrainStep.image(units.Quantity(t_frames[:4], 'hr'), lc_short,
+                           predictor, dtype='lc', scale=0.5)
+    with pytest.raises(ValueError, match='share the frame count'):
+        _ = ts_a + ts_b
