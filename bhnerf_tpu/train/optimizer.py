@@ -393,6 +393,7 @@ class TemporalBatchedArgs:
         self.args = args
         self.mesh = mesh
         self._device_args = None
+        self._placed_on = None
 
     @property
     def device_args(self):
@@ -438,14 +439,20 @@ class TemporalBatchedArgs:
         container has no mesh of its own: inputs whose committed
         sharding differs from what the sharded executable expects are
         re-sharded on every call (a per-step re-upload behind the TPU
-        tunnel)."""
-        if self.mesh is None:
+        tunnel).
+
+        Must NOT set self.mesh: that flag records the frame-DP mesh the
+        step fns were built against (TrainStep.__call__ keys its
+        batching branch on it — flipping it after the first call would
+        hand the gather-in-jit grad_fn a per-step frame batch with no
+        indices argument)."""
+        if self.mesh is None and self._placed_on is not mesh:
             import jax
             from jax.sharding import NamedSharding, PartitionSpec as P
             sh = NamedSharding(mesh, P())
             self._device_args = [jax.device_put(a, sh)
                                  for a in self.device_args]
-            self.mesh = mesh
+            self._placed_on = mesh
 
     def sample(self, batchsize, replace=False):
         return np.random.choice(range(self.num_frames), batchsize,

@@ -425,16 +425,22 @@ def compact_ensemble_args(rt_list, predictor, **kwargs):
     stacked (stack_ensemble) and the per-step variant choice can happen
     INSIDE the scan-chunked training dispatch. Returns a list.
     """
+    rt_list = np.atleast_1d(rt_list)
     built = [compact_raytracing_args(rt, predictor, **kwargs)
-             for rt in np.atleast_1d(rt_list)]
+             for rt in rt_list]
     shapes = {(c.coords.shape[-1], c.red_group_ids.shape[-1])
               for c in built}
     if len(shapes) > 1:
+        # re-compact only the variants below the ensemble maximum (the
+        # pads are max(current, pad), so max-shaped variants are already
+        # in their final layout — compaction is the host-side cost here)
         ln = max(c.coords.shape[-1] // c.num_shards for c in built)
         ng = max(c.red_group_ids.shape[-1] // c.num_shards for c in built)
-        built = [compact_raytracing_args(rt, predictor, pad_local_n=ln,
-                                         pad_groups=ng, **kwargs)
-                 for rt in np.atleast_1d(rt_list)]
+        built = [c if (c.coords.shape[-1] == ln * c.num_shards
+                       and c.red_group_ids.shape[-1] == ng * c.num_shards)
+                 else compact_raytracing_args(rt, predictor, pad_local_n=ln,
+                                              pad_groups=ng, **kwargs)
+                 for c, rt in zip(built, rt_list)]
     return built
 
 
@@ -620,26 +626,27 @@ def _shape_images(images, t_shape, crt):
     return images
 
 
-def _sharded_compact_prediction(params, predictor, t_frames_M,
-                                crt: CompactRayArgs, fused):
-    """Sample-parallel compact prediction under jax.shard_map.
+def _sharded_compact_apply(params, predictor, t_frames_M,
+                           crt: CompactRayArgs, fused, body):
+    """Sample-parallel shard_map scaffolding shared by the compact image
+    and lightcurve paths.
 
     Each device of the `crt.shard_axis` mesh axis owns one contiguous
     sample block (built by compact_raytracing_args(mesh=...)): it runs
-    the full warp+posenc+MLP (fused Pallas kernel per device) and its
-    block-local grouped reduction, and the per-shard partial images are
-    merged with ONE psum of (F, nstokes, npix) — no all-gather of any
-    sample-sized tensor. This is the scaling semantics the reference got
-    from pmap frame-DP (optimization.py:209-216), applied to the axis
-    that carries this rebuild's FLOPs. Gradients flow through shard_map:
-    the replicated params' cotangents are psum-merged by the transpose.
+    the full warp+posenc+MLP (fused Pallas kernel per device) and then
+    `body(em, local_crt)` on its block (block-local grouped reduction
+    for images, em @ W^T for lightcurves); the per-shard partials are
+    merged with ONE psum — no all-gather of any sample-sized tensor.
+    This is the scaling semantics the reference got from pmap frame-DP
+    (optimization.py:209-216), applied to the axis that carries this
+    rebuild's FLOPs. Gradients flow through shard_map: the replicated
+    params' cotangents are psum-merged by the transpose.
     """
     import dataclasses as dc
     from jax.sharding import PartitionSpec as P
 
     mesh, ax = crt.mesh, crt.shard_axis
     t_flat = jnp.reshape(jnp.asarray(t_frames_M), (-1,))
-    t_shape = jnp.shape(t_frames_M)
 
     leaves = dict(coords=crt.coords, weights=crt.weights,
                   t_geos_rel=crt.t_geos_rel, pixel_ids=crt.pixel_ids)
@@ -661,14 +668,22 @@ def _sharded_compact_prediction(params, predictor, t_frames_M,
                            mesh=None, Omega=lv.get('Omega', omega_rep),
                            **{k: v for k, v in lv.items() if k != 'Omega'})
         em = _compact_emission(params, predictor, t_flat, local, fused)
-        return jax.lax.psum(_reduce_to_images(em, local), ax)
+        return jax.lax.psum(body(em, local), ax)
 
     omega_rep = crt.Omega if jnp.ndim(crt.Omega) == 0 else 0.0
     fn = jax.shard_map(local_fn, mesh=mesh,
                        in_specs=(P(), P(), P(), P(), specs),
                        out_specs=P(), check_vma=False)
-    images = fn(params, t_flat, crt.t_injection, omega_rep, leaves)
-    return _shape_images(images, t_shape, crt)
+    return fn(params, t_flat, crt.t_injection, omega_rep, leaves)
+
+
+def _sharded_compact_prediction(params, predictor, t_frames_M,
+                                crt: CompactRayArgs, fused):
+    """Sample-parallel compact image prediction (see
+    _sharded_compact_apply for the shard_map layout)."""
+    images = _sharded_compact_apply(params, predictor, t_frames_M, crt,
+                                    fused, _reduce_to_images)
+    return _shape_images(images, jnp.shape(t_frames_M), crt)
 
 
 def _compact_prediction(params, predictor, t_frames_M, crt: CompactRayArgs,
@@ -701,34 +716,9 @@ def compact_lightcurve(params, predictor, t_frames_M, crt: CompactRayArgs,
     t_shape = jnp.shape(t_frames_M)
 
     if crt.mesh is not None:
-        import dataclasses as dc
-        from jax.sharding import PartitionSpec as P
-        mesh, ax = crt.mesh, crt.shard_axis
-        t_flat = jnp.reshape(jnp.asarray(t_frames_M), (-1,))
-        leaves = dict(coords=crt.coords, weights=crt.weights,
-                      t_geos_rel=crt.t_geos_rel)
-        if jnp.ndim(crt.Omega) > 0:
-            leaves['Omega'] = crt.Omega
-
-        def spec_of(x):
-            return P(*([None] * (jnp.ndim(x) - 1) + [ax]))
-
-        specs = {k: spec_of(v) for k, v in leaves.items()}
-
-        def local_fn(params, t_flat, t_inj, omega_rep, lv):
-            local = dc.replace(crt, t_injection=t_inj, mesh=None,
-                               Omega=lv.get('Omega', omega_rep),
-                               **{k: v for k, v in lv.items()
-                                  if k != 'Omega'})
-            em = _compact_emission(params, predictor, t_flat, local,
-                                   fused)
-            return jax.lax.psum(em @ local.weights.T, ax)
-
-        omega_rep = crt.Omega if jnp.ndim(crt.Omega) == 0 else 0.0
-        fn = jax.shard_map(local_fn, mesh=mesh,
-                           in_specs=(P(), P(), P(), P(), specs),
-                           out_specs=P(), check_vma=False)
-        lc = fn(params, t_flat, crt.t_injection, omega_rep, leaves)
+        lc = _sharded_compact_apply(params, predictor, t_frames_M, crt,
+                                    fused,
+                                    lambda em, local: em @ local.weights.T)
     else:
         em = _compact_emission(params, predictor, t_frames_M, crt, fused)
         lc = em @ crt.weights.T                       # (F, nstokes)

@@ -188,6 +188,34 @@ def test_sample_parallel_native_layout_polarized(setup):
             rtol=1e-3, atol=5e-6)
 
 
+def test_trainstep_repeat_calls_with_meshed_crt(setup):
+    """Regression: TrainStep.__call__ with a sample-parallel (meshed)
+    CompactRayArgs must survive repeated calls. ensure_placed used to
+    flip args.mesh after the first call, sending call 2 down the
+    frame-DP batching branch whose argument list doesn't match the
+    gather=True step fns (TypeError)."""
+    from bhnerf_tpu.train import Optimizer, TrainStep
+
+    predictor, params, rt, t_frames_M = setup
+    mesh = create_mesh((4, 2))
+    crt = compact_raytracing_args(rt, predictor, tile=256, mesh=mesh)
+
+    t_frames = units.Quantity(np.asarray([0.0, 0.5], np.float32), 'hr')
+    target = np.zeros((2, 16, 16), np.float32)
+    ts = TrainStep.image(t_frames, target, predictor, dtype='full')
+
+    opt = Optimizer({'num_iters': 2, 'lr_init': 1e-3, 'seed': 0},
+                    predictor, crt, checkpoint_dir='')
+    state = opt.state
+    inds = np.asarray([0, 1])
+    loss1, state, _ = ts(state, crt, inds)
+    loss2, state, _ = ts(state, crt, inds)           # used to TypeError
+    loss3, _, _ = ts(state, crt, inds, update_state=False)
+    assert np.isfinite(float(loss1)) and np.isfinite(float(loss2))
+    assert np.isfinite(float(loss3))
+    assert ts.args[0].mesh is None                    # branch flag intact
+
+
 def test_scan_chunked_training_under_mesh():
     """The scan-chunked (one-dispatch-per-chunk) path is mesh-agnostic:
     with frame tensors sharded over 'data', the scanned losses match the
