@@ -44,9 +44,15 @@ def preprocess_data(data_path, window_size, I_hs_mean, P_sha, chi_sha,
 
 
 def image_plane_model(inc, spin, params, rot_angle=0.0,
-                      randomize_subpixel_rays=False, rng=None):
+                      randomize_subpixel_rays=False, rng=None,
+                      backend='cpu'):
     """Geodesics + Keplerian velocity + normalized fluid-frame B field +
-    polarized transport factors (reference alma.py:27-63)."""
+    polarized transport factors (reference alma.py:27-63).
+
+    backend='device' traces the geodesics on the accelerator in float32
+    (geodesics.trace_geodesics) — the chi^2 grid scans re-trace per grid
+    point and per sub-pixel variant, which dominates their wall time on
+    a 1-core host."""
     rot_sign = {'cw': -1, 'ccw': 1}
     num_alpha, num_beta = params['num_alpha'], params['num_beta']
     fov_M, z_width = params['fov_M'], params['z_width']
@@ -60,7 +66,8 @@ def image_plane_model(inc, spin, params, rot_angle=0.0,
         spin, inc, num_alpha=num_alpha, num_beta=num_beta,
         alpha_range=[-fov_M / 2, fov_M / 2],
         beta_range=[-fov_M / 2, fov_M / 2],
-        randomize_subpixel_rays=randomize_subpixel_rays, rng=rng)
+        randomize_subpixel_rays=randomize_subpixel_rays, rng=rng,
+        backend=backend)
 
     Omega_frac = params.get('Omega_frac', 1.0)
     Omega = geos.keplerian_omega(direction=rot_sign[Omega_dir],
@@ -82,14 +89,16 @@ def image_plane_model(inc, spin, params, rot_angle=0.0,
 
 
 def get_raytracing_args(inc, spin, params, stokes=('I', 'Q', 'U'),
-                        rot_angle=0.0, num_subpixel_rays=1, rng=None):
+                        rot_angle=0.0, num_subpixel_rays=1, rng=None,
+                        backend='cpu'):
     """Sub-pixel ray ensemble of RayTracingArgs (reference alma.py:65-81)."""
     args_list = []
     J_inds = [['I', 'Q', 'U'].index(s) for s in stokes]
     randomize = num_subpixel_rays > 1
     for _ in range(num_subpixel_rays):
         geos, Omega, J = image_plane_model(inc, spin, params, rot_angle,
-                                           randomize, rng=rng)
+                                           randomize, rng=rng,
+                                           backend=backend)
         t_injection = -float(geos.r_o + params['fov_M'] / 4)
         args = step_lib.raytracing_args(
             geos, Omega, t_injection,
@@ -140,9 +149,12 @@ def chi2_lightcurves(raytracing_args, checkpoint_dir, t, data, sigma=1.0,
 
 def chi2_df(inclinations, spins, seeds, params, checkpoint_fmt, t, data,
             stokes=('I', 'Q', 'U'), sigma=1.0, rot_angle=0.0,
-            num_subpixel_rays=1, checkpoint_name='checkpoint_50000'):
+            num_subpixel_rays=1, checkpoint_name='checkpoint_50000',
+            backend='cpu'):
     """chi^2(inclination-or-spin x seed) DataFrame over a checkpoint grid
-    (reference alma.py:88-117)."""
+    (reference alma.py:88-117). backend='device' traces each grid
+    point's geodesic tables on the accelerator (float32) instead of the
+    host — the dominant cost of a fresh scan."""
     import pandas as pd
 
     inclinations = np.atleast_1d(inclinations)
@@ -169,7 +181,7 @@ def chi2_df(inclinations, spins, seeds, params, checkpoint_fmt, t, data,
                 if (inc_prev != inc) or (spin_prev != spin):
                     rt_args = get_raytracing_args(
                         np.deg2rad(inc), spin, params, stokes, rot_angle,
-                        num_subpixel_rays)
+                        num_subpixel_rays, backend=backend)
                     inc_prev, spin_prev = inc, spin
                 data_fit[i, j] = chi2_lightcurves(
                     rt_args, checkpoint_dir, t, data, sigma)

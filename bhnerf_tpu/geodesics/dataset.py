@@ -174,12 +174,14 @@ def image_plane_geos(spin, inclination, alpha_range, beta_range, ngeo=100,
                      num_alpha=64, num_beta=64, distance=1000.0, E=1.0, M=1.0,
                      randomize_subpixel_rays=False, rng=None, tau_max=4.0,
                      n_fine=8192, substeps=8, dtype=np.float64,
-                     verbose=False) -> Geodesics:
+                     backend='cpu', verbose=False) -> Geodesics:
     """Trace Kerr geodesics for a full image plane.
 
     API mirrors the reference driver (bhnerf/kgeo.py:6-63) including
     sub-pixel randomization (kgeo.py:51-55); the implementation is the JAX
-    integrator of `bhnerf_tpu.geodesics.integrator` run in float64.
+    integrator of `bhnerf_tpu.geodesics.integrator` run in float64 on the
+    host by default, or in float32 on the accelerator with
+    backend='device' (see trace_geodesics).
     """
     del verbose
     alpha_1d = np.linspace(*alpha_range, num_alpha)
@@ -195,16 +197,29 @@ def image_plane_geos(spin, inclination, alpha_range, beta_range, ngeo=100,
     alpha, beta = np.meshgrid(alpha_1d, beta_1d, indexing='ij')
     return trace_geodesics(alpha, beta, spin, inclination, ngeo=ngeo,
                            distance=distance, E=E, M=M, tau_max=tau_max,
-                           n_fine=n_fine, substeps=substeps, dtype=dtype)
+                           n_fine=n_fine, substeps=substeps, dtype=dtype,
+                           backend=backend)
 
 
 def trace_geodesics(alpha, beta, spin, inclination, ngeo=100, distance=1000.0,
                     E=1.0, M=1.0, tau_max=4.0, n_fine=8192, substeps=8,
-                    dtype=np.float64) -> Geodesics:
+                    dtype=np.float64, backend='cpu') -> Geodesics:
     """Trace geodesics for arbitrary (alpha, beta) screen points.
 
     alpha/beta may be any (matching) shape; output arrays get a trailing
     ngeo axis.
+
+    backend='cpu' (default) pins the integration to the host CPU in
+    exact float64 — the reference's host/device split. backend='device'
+    runs it on the default JAX backend (the TPU when one is attached) in
+    float32: the integrator's RHS is pure polynomial (no accelerator
+    trig — module docstring of geodesics.integrator) and coordinate time
+    carries its Kahan compensation out of the kernel, so the f32 trace
+    tracks the f64 one to ~1e-3 M in position and ~1e-4 M in retarded
+    time (pinned by tests/test_geodesics.py). Use it when tables are
+    needed in bulk — e.g. chi^2 inclination/spin grid scans re-trace per
+    grid point and per sub-pixel variant; on-chip each table is
+    ~100-1000x faster than the 1-core host trace.
     """
     import contextlib
     if not 0.0 <= spin < 1.0:
@@ -234,15 +249,25 @@ def trace_geodesics(alpha, beta, spin, inclination, ngeo=100, distance=1000.0,
     beta_pad = np.concatenate(
         [beta_flat, np.full(bucket - npix, beta_flat[-1], dtype=dtype)])
 
+    if backend not in ('cpu', 'device'):
+        raise ValueError(f"backend must be 'cpu' or 'device', got "
+                         f'{backend!r}')
+    if backend == 'device':
+        # accelerator f64 is emulated (and x64 trig is f32-precision on
+        # this TPU) — the on-device trace is a float32 product
+        dtype = np.float32
     use_x64 = dtype == np.float64
     ctx = jax.enable_x64(True) if use_x64 else contextlib.nullcontext()
     # precompute runs on the host CPU backend by default: exact float64
     # (accelerator f64 is emulated) and it leaves the TPU free. This is the
     # same host/device split as the reference (numpy precompute -> device
     # training), except the precompute is still jit-compiled JAX.
-    try:
-        dev_ctx = jax.default_device(jax.devices('cpu')[0])
-    except RuntimeError:
+    if backend == 'cpu':
+        try:
+            dev_ctx = jax.default_device(jax.devices('cpu')[0])
+        except RuntimeError:
+            dev_ctx = contextlib.nullcontext()
+    else:
         dev_ctx = contextlib.nullcontext()
     with ctx, dev_ctx:
         state0, lam, eta = integrator.initial_state(
@@ -265,7 +290,12 @@ def trace_geodesics(alpha, beta, spin, inclination, ngeo=100, distance=1000.0,
     # host-side exact trig: integrator works in c = cos(theta)
     theta = per_sample(np.arccos(np.clip(samples['c'], -1.0, 1.0)))
     phi = per_sample(samples['phi'])
-    t = per_sample(samples['t'])
+    # fold the integrator's running Kahan error back in, in f64: for the
+    # float32 on-device trace this recovers the low-order bits of the one
+    # quantity that grows to O(r_o) (downstream subtracts t_injection and
+    # needs O(1) differences — train.step.raytracing_args)
+    t = per_sample(np.asarray(samples['t'], np.float64)
+                   - np.asarray(samples['t_c'], np.float64))
     pm_r = per_sample(samples['pm_r'])
     pm_th = per_sample(samples['pm_th'])
 

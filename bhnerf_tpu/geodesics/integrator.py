@@ -173,6 +173,11 @@ def sample_rays(state0, tau_final, spin, lam, eta, r_o=1000.0, ngeo=100,
     def record(s: RayState):
         return {
             'u': s.u, 'c': s.c, 'phi': s.phi, 't': s.t,
+            # running Kahan error of t: the corrected time is t - t_c.
+            # Carried out of the kernel so the float32 on-device trace
+            # recovers ~2x the mantissa on the one quantity that grows
+            # to O(r_o) while downstream needs O(1) differences
+            't_c': s.t_c,
             # physical (forward photon) momentum signs — see module docstring
             'pm_r': jnp.sign(s.ud),
             'pm_th': jnp.sign(s.cd),   # dtheta/dtau_fwd = +sign(dc/dtau_bwd)

@@ -66,6 +66,25 @@ def test_subpixel_ray_ensemble():
                            np.asarray(args[1].coords))
 
 
+def test_device_backend_rt_args_close_to_host():
+    """backend='device' (f32 trace) produces RayTracingArgs whose
+    transport weights track the host-f64 build — the chi^2-scan fast
+    path must not bias the fit inputs."""
+    kw = dict(stokes=['I', 'Q', 'U'], num_subpixel_rays=1)
+    rt64 = alma.get_raytracing_args(np.deg2rad(60.0), 0.0, MODEL_PARAMS,
+                                    **kw)[0]
+    rt32 = alma.get_raytracing_args(np.deg2rad(60.0), 0.0, MODEL_PARAMS,
+                                    backend='device', **kw)[0]
+    scale = np.abs(np.asarray(rt64.J)).max()
+    np.testing.assert_allclose(np.asarray(rt32.J), np.asarray(rt64.J),
+                               atol=5e-3 * scale)
+    # long photon-shell-winding rays accumulate t to O(1000) with f32
+    # roundoff scaling relatively — judge them on rtol
+    np.testing.assert_allclose(np.asarray(rt32.t_geos_rel),
+                               np.asarray(rt64.t_geos_rel), rtol=2e-3,
+                               atol=5e-3)
+
+
 def test_polarized_lc_fit_and_chi2(tmp_path, alma_rt_args):
     """Fit Q,U lightcurves through the TrainStep.image 'lc' path, save a
     checkpoint, then score it with chi2_lightcurves (reference

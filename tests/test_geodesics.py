@@ -313,3 +313,63 @@ def test_trace_rejects_nonunit_mass():
     with pytest.raises(ValueError, match='M=E=1'):
         trace_geodesics(np.array([5.0]), np.array([0.0]), 0.0,
                         np.deg2rad(60), M=2.0)
+
+
+def test_device_backend_f32_trace_matches_f64():
+    """backend='device' (f32, accelerator path — CPU backend under the
+    test config) tracks the f64 host trace: geometry to ~1e-3 M away
+    from the critical curve, and the Kahan-corrected coordinate time to
+    ~1e-3 M even though t itself reaches O(r_o)."""
+    from bhnerf_tpu.geodesics import image_plane_geos
+
+    kw = dict(spin=0.94, inclination=np.deg2rad(60),
+              alpha_range=(-8, 8), beta_range=(-8, 8), ngeo=24,
+              num_alpha=12, num_beta=12, n_fine=2048)
+    g64 = image_plane_geos(**kw)
+    g32 = image_plane_geos(**kw, backend='device')
+    assert g32.r.dtype == np.float32
+    assert g32.t.dtype == np.float64        # Kahan-corrected, folded f64
+
+    # rays near the critical curve are exponentially sensitive — a few
+    # may diverge in f32; the bulk must agree tightly
+    dr = np.abs(g32.r - g64.r) / np.maximum(g64.r, 1.0)
+    dth = np.abs(g32.theta - g64.theta)
+    dt = np.abs(g32.t - g64.t)
+    assert np.quantile(dr, 0.9) < 1e-4, np.quantile(dr, 0.9)
+    assert np.quantile(dth, 0.9) < 1e-3, np.quantile(dth, 0.9)
+    assert np.quantile(dt, 0.9) < 1e-3, np.quantile(dt, 0.9)
+    assert np.median(dt) < 2e-4, np.median(dt)
+
+
+def test_device_backend_f32_lightcurve_matches():
+    """End-to-end criterion for chi^2 scans on device-traced tables: the
+    forward hotspot lightcurve from the f32 table matches the f64 one
+    to well under the scan's discriminating power (<1%)."""
+    from bhnerf_tpu import constants, emission, units
+    from bhnerf_tpu.geodesics import image_plane_geos
+
+    fov = 16.0
+    kw = dict(spin=0.2, inclination=np.deg2rad(60),
+              alpha_range=(-fov / 2, fov / 2),
+              beta_range=(-fov / 2, fov / 2), ngeo=24,
+              num_alpha=16, num_beta=16, n_fine=2048)
+    g64 = image_plane_geos(**kw)
+    g32 = image_plane_geos(**kw, backend='device')
+
+    hs = emission.generate_hotspot(
+        resolution=(24, 24, 24), rot_axis=[0, 0, 1], rot_angle=0.0,
+        orbit_radius=6.0, std=0.7,
+        r_isco=float(constants.isco_pro(0.2)), fov=fov)
+    GM_hr = constants.GM_c3(constants.sgra_mass).to('hr').value
+    t_frames = units.Quantity(
+        np.linspace(0, 150 * GM_hr, 8).astype(np.float32), 'hr')
+    t_inj = -float(g64.r_o + fov / 4)
+
+    lcs = []
+    for g in (g64, g32):
+        Omega = float(1 / 6.0 ** 1.5)
+        movie = np.asarray(emission.image_plane_dynamics(
+            hs, g, Omega, t_frames, t_injection=t_inj))
+        lcs.append(movie.sum(axis=(-1, -2)))
+    rel = np.abs(lcs[1] - lcs[0]).max() / np.abs(lcs[0]).mean()
+    assert rel < 1e-2, rel
