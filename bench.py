@@ -205,6 +205,24 @@ def bench_eht_step(predictor, geos, rt, crt, t_frames_hr, mark,
             'eht_nvis_per_frame': int(dev_args[2].shape[-2])}
 
 
+def bench_device_geos(mark, n=64, ngeo=100):
+    """On-chip f32 geodesic trace (warm-executable): the chi^2 grid
+    scans re-trace one table per grid point and sub-pixel variant, so
+    tables/s is the scan-throughput currency."""
+    import time as time_lib
+
+    from bhnerf_tpu.geodesics import image_plane_geos
+    kw = dict(spin=0.94, inclination=np.deg2rad(60), alpha_range=(-8, 8),
+              beta_range=(-8, 8), ngeo=ngeo, num_alpha=n, num_beta=n,
+              backend='device')
+    image_plane_geos(**kw)                        # compile
+    t0 = time_lib.perf_counter()
+    image_plane_geos(**kw)
+    dt = time_lib.perf_counter() - t0
+    mark(f'device f32 geodesic trace ({n}x{n}x{ngeo}): {dt:.2f} s/table')
+    return {'geos_device_trace_s': round(dt, 3)}
+
+
 def main():
     import dataclasses
 
@@ -341,6 +359,13 @@ def main():
         mark(f'eht bench unavailable ({type(e).__name__}: {e})')
         eht_keys = {}
 
+    # on-chip f32 geodesic tracing (chi^2-scan table generation)
+    try:
+        geos_keys = bench_device_geos(mark)
+    except Exception as e:  # pragma: no cover - hardware dependent
+        mark(f'device-geos bench unavailable ({type(e).__name__}: {e})')
+        geos_keys = {}
+
     # measured baseline: dense pure-XLA path, reference semantics (every
     # ray sample through the MLP, stock XLA fusion, f32)
     mark('compiling dense XLA baseline')
@@ -379,6 +404,7 @@ def main():
         'compute_dtype': compute_dtype,
         **alma_keys,
         **eht_keys,
+        **geos_keys,
     }))
     print(f'# steps/sec: {best:.2f} (per-dispatch {steps_per_sec:.2f}, '
           f'dense XLA baseline {base_steps_per_sec:.2f})  backend: '

@@ -1,0 +1,58 @@
+"""Drive: on-device (f32) geodesic tracing vs host (f64) on the real chip.
+
+Validates accuracy and measures the speedup of
+`trace_geodesics(backend='device')` for the chi^2-scan table workload
+(64x64 rays x ngeo=100, the production ALMA shape is 128x128).
+
+Run: PYTHONPATH=/root/repo python scripts/drive_device_geos.py [npix]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+os.environ['JAX_PLATFORMS'] = ''
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    import jax
+
+    from bhnerf_tpu.utils import compilation_cache_dir
+    jax.config.update('jax_compilation_cache_dir', compilation_cache_dir())
+    from bhnerf_tpu.geodesics import image_plane_geos
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    kw = dict(spin=0.94, inclination=np.deg2rad(60), alpha_range=(-8, 8),
+              beta_range=(-8, 8), ngeo=100, num_alpha=n, num_beta=n)
+    print(f'backend={jax.default_backend()} grid={n}x{n}x100', flush=True)
+
+    t0 = time.time()
+    g64 = image_plane_geos(**kw)
+    t_host = time.time() - t0
+    print(f'host f64 trace: {t_host:.1f} s', flush=True)
+
+    t0 = time.time()
+    g32 = image_plane_geos(**kw, backend='device')
+    t_dev_cold = time.time() - t0
+    t0 = time.time()
+    g32 = image_plane_geos(**kw, backend='device')
+    t_dev = time.time() - t0
+    print(f'device f32 trace: {t_dev:.2f} s (cold {t_dev_cold:.1f} s) '
+          f'-> {t_host / t_dev:.0f}x host', flush=True)
+
+    dr = np.abs(g32.r - g64.r) / np.maximum(g64.r, 1.0)
+    dt = np.abs(g32.t - g64.t)
+    dth = np.abs(g32.theta - g64.theta)
+    for name, d in (('r_rel', dr), ('theta', dth), ('t', dt)):
+        print(f'{name}: median {np.median(d):.2e}  p90 '
+              f'{np.quantile(d, 0.9):.2e}  max {d.max():.2e}', flush=True)
+    ok = (np.quantile(dr, 0.9) < 1e-4 and np.quantile(dth, 0.9) < 1e-3
+          and np.quantile(dt, 0.9) < 1e-3)
+    print('ACCURACY OK' if ok else 'ACCURACY REGRESSION', flush=True)
+
+
+if __name__ == '__main__':
+    main()
