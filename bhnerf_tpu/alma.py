@@ -53,14 +53,8 @@ def image_plane_model(inc, spin, params, rot_angle=0.0,
     (geodesics.trace_geodesics) — the chi^2 grid scans re-trace per grid
     point and per sub-pixel variant, which dominates their wall time on
     a 1-core host."""
-    rot_sign = {'cw': -1, 'ccw': 1}
     num_alpha, num_beta = params['num_alpha'], params['num_beta']
-    fov_M, z_width = params['fov_M'], params['z_width']
-    Q_frac, b_consts = params['Q_frac'], params['b_consts']
-    Omega_dir = params['Omega_dir']
-    rmin = (float(constants.isco_pro(spin)) if params['rmin'] == 'ISCO'
-            else params['rmin'])
-    rmax = fov_M / 2
+    fov_M = params['fov_M']
 
     geos = image_plane_geos(
         spin, inc, num_alpha=num_alpha, num_beta=num_beta,
@@ -68,6 +62,19 @@ def image_plane_model(inc, spin, params, rot_angle=0.0,
         beta_range=[-fov_M / 2, fov_M / 2],
         randomize_subpixel_rays=randomize_subpixel_rays, rng=rng,
         backend=backend)
+    return _model_physics(geos, params, rot_angle)
+
+
+def _model_physics(geos, params, rot_angle):
+    """Velocity + B-field + transport factors for an already-traced
+    image plane (the non-trace half of image_plane_model)."""
+    rot_sign = {'cw': -1, 'ccw': 1}
+    fov_M, z_width = params['fov_M'], params['z_width']
+    Q_frac, b_consts = params['Q_frac'], params['b_consts']
+    Omega_dir = params['Omega_dir']
+    rmin = (float(constants.isco_pro(geos.spin))
+            if params['rmin'] == 'ISCO' else params['rmin'])
+    rmax = fov_M / 2
 
     Omega_frac = params.get('Omega_frac', 1.0)
     Omega = geos.keplerian_omega(direction=rot_sign[Omega_dir],
@@ -88,17 +95,64 @@ def image_plane_model(inc, spin, params, rot_angle=0.0,
     return geos, Omega, J
 
 
+def _trace_subpixel_ensemble(inc, spin, params, num_variants, rng,
+                             backend):
+    """Trace ALL sub-pixel-ray variants in ONE trace_geodesics call
+    (stacked (V, na, nb) screen grids -> one device dispatch instead of
+    V), then split back into per-variant Geodesics. Randomization
+    semantics match image_plane_geos (per-axis uniform jitter within a
+    pixel, same rng consumption order)."""
+    import dataclasses
+
+    from bhnerf_tpu.geodesics import trace_geodesics
+    from bhnerf_tpu.geodesics.dataset import Geodesics
+
+    num_alpha, num_beta = params['num_alpha'], params['num_beta']
+    fov_M = params['fov_M']
+    rng = np.random.default_rng() if rng is None else rng
+    lin_a = np.linspace(-fov_M / 2, fov_M / 2, num_alpha)
+    lin_b = np.linspace(-fov_M / 2, fov_M / 2, num_beta)
+    psize_a = fov_M / (num_alpha - 1)
+    psize_b = fov_M / (num_beta - 1)
+
+    alphas, betas = [], []
+    for _ in range(num_variants):
+        a1 = lin_a + (rng.random(num_alpha) - 0.5) * psize_a
+        b1 = lin_b + (rng.random(num_beta) - 0.5) * psize_b
+        a, b = np.meshgrid(a1, b1, indexing='ij')
+        alphas.append(a)
+        betas.append(b)
+
+    geos_all = trace_geodesics(np.stack(alphas), np.stack(betas), spin,
+                               inc, backend=backend)
+    return [dataclasses.replace(
+        geos_all, **{f: getattr(geos_all, f)[v]
+                     for f in Geodesics._FIELDS})
+        for v in range(num_variants)]
+
+
 def get_raytracing_args(inc, spin, params, stokes=('I', 'Q', 'U'),
                         rot_angle=0.0, num_subpixel_rays=1, rng=None,
                         backend='cpu'):
-    """Sub-pixel ray ensemble of RayTracingArgs (reference alma.py:65-81)."""
+    """Sub-pixel ray ensemble of RayTracingArgs (reference alma.py:65-81).
+
+    With backend='device' the whole ensemble is traced in a single
+    on-chip dispatch (the per-variant loop otherwise pays one trace per
+    variant)."""
     args_list = []
     J_inds = [['I', 'Q', 'U'].index(s) for s in stokes]
     randomize = num_subpixel_rays > 1
-    for _ in range(num_subpixel_rays):
-        geos, Omega, J = image_plane_model(inc, spin, params, rot_angle,
-                                           randomize, rng=rng,
-                                           backend=backend)
+    geos_list = (_trace_subpixel_ensemble(inc, spin, params,
+                                          num_subpixel_rays, rng, backend)
+                 if backend == 'device' and randomize else None)
+    for i in range(num_subpixel_rays):
+        if geos_list is None:
+            geos, Omega, J = image_plane_model(inc, spin, params,
+                                               rot_angle, randomize,
+                                               rng=rng, backend=backend)
+        else:
+            geos, Omega, J = _model_physics(geos_list[i], params,
+                                            rot_angle)
         t_injection = -float(geos.r_o + params['fov_M'] / 4)
         args = step_lib.raytracing_args(
             geos, Omega, t_injection,

@@ -66,6 +66,33 @@ def test_subpixel_ray_ensemble():
                            np.asarray(args[1].coords))
 
 
+def test_device_ensemble_single_dispatch_matches_loop():
+    """backend='device' ensembles trace all variants in one stacked
+    call; same seed must reproduce the per-variant loop exactly."""
+    from bhnerf_tpu import alma as alma_lib
+
+    kw = dict(stokes=['I', 'Q', 'U'], num_subpixel_rays=3)
+    batched = alma_lib.get_raytracing_args(
+        np.deg2rad(30.0), 0.0, MODEL_PARAMS, backend='device',
+        rng=np.random.default_rng(3), **kw)
+    # force the per-variant loop by monkeypatching the batcher away
+    orig = alma_lib._trace_subpixel_ensemble
+    alma_lib._trace_subpixel_ensemble = lambda *a, **k: None
+    try:
+        looped = alma_lib.get_raytracing_args(
+            np.deg2rad(30.0), 0.0, MODEL_PARAMS, backend='device',
+            rng=np.random.default_rng(3), **kw)
+    finally:
+        alma_lib._trace_subpixel_ensemble = orig
+    assert len(batched) == len(looped) == 3
+    for b, l in zip(batched, looped):
+        np.testing.assert_allclose(np.asarray(b.coords),
+                                   np.asarray(l.coords), rtol=1e-5,
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(b.J), np.asarray(l.J),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_device_backend_rt_args_close_to_host():
     """backend='device' (f32 trace) produces RayTracingArgs whose
     transport weights track the host-f64 build — the chi^2-scan fast
