@@ -105,20 +105,17 @@ def _trace_subpixel_ensemble(inc, spin, params, num_variants, rng,
     import dataclasses
 
     from bhnerf_tpu.geodesics import trace_geodesics
-    from bhnerf_tpu.geodesics.dataset import Geodesics
+    from bhnerf_tpu.geodesics.dataset import (Geodesics,
+                                              subpixel_jittered_axes)
 
     num_alpha, num_beta = params['num_alpha'], params['num_beta']
     fov_M = params['fov_M']
     rng = np.random.default_rng() if rng is None else rng
-    lin_a = np.linspace(-fov_M / 2, fov_M / 2, num_alpha)
-    lin_b = np.linspace(-fov_M / 2, fov_M / 2, num_beta)
-    psize_a = fov_M / (num_alpha - 1)
-    psize_b = fov_M / (num_beta - 1)
+    ranges = ((-fov_M / 2, fov_M / 2), (-fov_M / 2, fov_M / 2))
 
     alphas, betas = [], []
     for _ in range(num_variants):
-        a1 = lin_a + (rng.random(num_alpha) - 0.5) * psize_a
-        b1 = lin_b + (rng.random(num_beta) - 0.5) * psize_b
+        a1, b1 = subpixel_jittered_axes(*ranges, num_alpha, num_beta, rng)
         a, b = np.meshgrid(a1, b1, indexing='ij')
         alphas.append(a)
         betas.append(b)

@@ -170,10 +170,26 @@ class Geodesics:
                 / (self.r ** 1.5 + self.spin * np.sqrt(self.M)))
 
 
+def subpixel_jittered_axes(alpha_range, beta_range, num_alpha, num_beta,
+                           rng):
+    """One sub-pixel-randomized draw of the screen grid axes: per-axis
+    uniform jitter within a pixel (reference kgeo.py:51-55 semantics).
+    THE single source of the randomization rule — the batched ensemble
+    tracer (alma._trace_subpixel_ensemble) must consume rng identically
+    to the per-variant image_plane_geos loop."""
+    alpha_1d = np.linspace(*alpha_range, num_alpha)
+    beta_1d = np.linspace(*beta_range, num_beta)
+    psize_alpha = (alpha_range[1] - alpha_range[0]) / (num_alpha - 1)
+    psize_beta = (beta_range[1] - beta_range[0]) / (num_beta - 1)
+    alpha_1d = alpha_1d + (rng.random(num_alpha) - 0.5) * psize_alpha
+    beta_1d = beta_1d + (rng.random(num_beta) - 0.5) * psize_beta
+    return alpha_1d, beta_1d
+
+
 def image_plane_geos(spin, inclination, alpha_range, beta_range, ngeo=100,
                      num_alpha=64, num_beta=64, distance=1000.0, E=1.0, M=1.0,
                      randomize_subpixel_rays=False, rng=None, tau_max=4.0,
-                     n_fine=8192, substeps=8, dtype=np.float64,
+                     n_fine=8192, substeps=8, dtype=None,
                      backend='cpu', verbose=False) -> Geodesics:
     """Trace Kerr geodesics for a full image plane.
 
@@ -184,15 +200,13 @@ def image_plane_geos(spin, inclination, alpha_range, beta_range, ngeo=100,
     backend='device' (see trace_geodesics).
     """
     del verbose
-    alpha_1d = np.linspace(*alpha_range, num_alpha)
-    beta_1d = np.linspace(*beta_range, num_beta)
-
     if randomize_subpixel_rays:
         rng = np.random.default_rng() if rng is None else rng
-        psize_alpha = (alpha_range[1] - alpha_range[0]) / (num_alpha - 1)
-        psize_beta = (beta_range[1] - beta_range[0]) / (num_beta - 1)
-        alpha_1d = alpha_1d + (rng.random(num_alpha) - 0.5) * psize_alpha
-        beta_1d = beta_1d + (rng.random(num_beta) - 0.5) * psize_beta
+        alpha_1d, beta_1d = subpixel_jittered_axes(
+            alpha_range, beta_range, num_alpha, num_beta, rng)
+    else:
+        alpha_1d = np.linspace(*alpha_range, num_alpha)
+        beta_1d = np.linspace(*beta_range, num_beta)
 
     alpha, beta = np.meshgrid(alpha_1d, beta_1d, indexing='ij')
     return trace_geodesics(alpha, beta, spin, inclination, ngeo=ngeo,
@@ -203,7 +217,7 @@ def image_plane_geos(spin, inclination, alpha_range, beta_range, ngeo=100,
 
 def trace_geodesics(alpha, beta, spin, inclination, ngeo=100, distance=1000.0,
                     E=1.0, M=1.0, tau_max=4.0, n_fine=8192, substeps=8,
-                    dtype=np.float64, backend='cpu') -> Geodesics:
+                    dtype=None, backend='cpu') -> Geodesics:
     """Trace geodesics for arbitrary (alpha, beta) screen points.
 
     alpha/beta may be any (matching) shape; output arrays get a trailing
@@ -233,6 +247,22 @@ def trace_geodesics(alpha, beta, spin, inclination, ngeo=100, distance=1000.0,
         raise ValueError(
             f'geodesics are traced in M=E=1 units (got M={M}, E={E}); '
             f'scale times/lengths via constants.GM_c3 / GM_c2')
+    if backend not in ('cpu', 'device'):
+        raise ValueError(f"backend must be 'cpu' or 'device', got "
+                         f'{backend!r}')
+    if backend == 'device':
+        # accelerator f64 is emulated — the on-device trace is a
+        # float32 product. Refuse an explicit f64 request rather than
+        # silently degrading it.
+        if dtype is not None and np.dtype(dtype) == np.float64:
+            raise ValueError(
+                "backend='device' traces in float32 (accelerator f64 is "
+                "emulated); drop the dtype argument or use backend='cpu' "
+                'for the float64 host trace')
+        dtype = np.float32
+    elif dtype is None:
+        dtype = np.float64
+
     # exactly polar observers hit the phi coordinate singularity; nudge off
     # the axis (physically indistinguishable at 1e-6 rad)
     inclination = float(np.clip(inclination, 1e-6, np.pi - 1e-6))
@@ -249,13 +279,6 @@ def trace_geodesics(alpha, beta, spin, inclination, ngeo=100, distance=1000.0,
     beta_pad = np.concatenate(
         [beta_flat, np.full(bucket - npix, beta_flat[-1], dtype=dtype)])
 
-    if backend not in ('cpu', 'device'):
-        raise ValueError(f"backend must be 'cpu' or 'device', got "
-                         f'{backend!r}')
-    if backend == 'device':
-        # accelerator f64 is emulated (and x64 trig is f32-precision on
-        # this TPU) — the on-device trace is a float32 product
-        dtype = np.float32
     use_x64 = dtype == np.float64
     ctx = jax.enable_x64(True) if use_x64 else contextlib.nullcontext()
     # precompute runs on the host CPU backend by default: exact float64

@@ -627,9 +627,13 @@ def _shape_images(images, t_shape, crt):
 
 
 def _sharded_compact_apply(params, predictor, t_frames_M,
-                           crt: CompactRayArgs, fused, body):
+                           crt: CompactRayArgs, fused, body,
+                           with_reduction=True):
     """Sample-parallel shard_map scaffolding shared by the compact image
-    and lightcurve paths.
+    and lightcurve paths. with_reduction=False omits the per-pixel
+    reduction tables (pixel_ids/red_*) from the sharded inputs — the
+    lightcurve body never reads them, and dead operands would bloat the
+    executable signature.
 
     Each device of the `crt.shard_axis` mesh axis owns one contiguous
     sample block (built by compact_raytracing_args(mesh=...)): it runs
@@ -649,12 +653,14 @@ def _sharded_compact_apply(params, predictor, t_frames_M,
     t_flat = jnp.reshape(jnp.asarray(t_frames_M), (-1,))
 
     leaves = dict(coords=crt.coords, weights=crt.weights,
-                  t_geos_rel=crt.t_geos_rel, pixel_ids=crt.pixel_ids)
-    if crt.red_gather is not None:
-        leaves.update(red_gather=crt.red_gather,
-                      red_weights=crt.red_weights)
-    if crt.red_group_ids is not None:
-        leaves.update(red_group_ids=crt.red_group_ids)
+                  t_geos_rel=crt.t_geos_rel)
+    if with_reduction:
+        leaves['pixel_ids'] = crt.pixel_ids
+        if crt.red_gather is not None:
+            leaves.update(red_gather=crt.red_gather,
+                          red_weights=crt.red_weights)
+        if crt.red_group_ids is not None:
+            leaves.update(red_group_ids=crt.red_group_ids)
     if jnp.ndim(crt.Omega) > 0:
         leaves['Omega'] = crt.Omega
 
@@ -718,7 +724,8 @@ def compact_lightcurve(params, predictor, t_frames_M, crt: CompactRayArgs,
     if crt.mesh is not None:
         lc = _sharded_compact_apply(params, predictor, t_frames_M, crt,
                                     fused,
-                                    lambda em, local: em @ local.weights.T)
+                                    lambda em, local: em @ local.weights.T,
+                                    with_reduction=False)
     else:
         em = _compact_emission(params, predictor, t_frames_M, crt, fused)
         lc = em @ crt.weights.T                       # (F, nstokes)
