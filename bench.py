@@ -29,6 +29,32 @@ os.environ['JAX_PLATFORMS'] = ''
 
 import numpy as np
 
+
+def ensure_tpu_reachable(timeout=300, metric='train_ray_samples_per_sec'):
+    """Probe the TPU in a SUBPROCESS before touching jax in-process.
+
+    The axon tunnel can go down for stretches; jax.devices() then hangs
+    forever and is uninterruptible in-process (observed round 3). A
+    hung bench is worse than a loud failure — probe with a timeout and
+    emit one parseable JSON error line instead of hanging the driver.
+    """
+    import subprocess
+    code = ("import os; os.environ['JAX_PLATFORMS']=''; "
+            "import jax; jax.devices()")
+    try:
+        ok = subprocess.run([sys.executable, '-c', code], timeout=timeout,
+                            capture_output=True).returncode == 0
+    except subprocess.TimeoutExpired:
+        ok = False
+    if not ok:
+        print(json.dumps({
+            'metric': metric, 'value': 0,
+            'unit': 'samples/s', 'vs_baseline': 0,
+            'error': f'TPU unreachable (device init exceeded {timeout}s '
+                     '- axon tunnel outage)'}))
+        print('# TPU unreachable; see error key', file=sys.stderr)
+        sys.exit(0)
+
 # chip peak dense-matmul throughput (bf16, FLOP/s). MFU is conventionally
 # reported against the native MXU peak regardless of achieved precision.
 PEAK_FLOPS = {
@@ -226,6 +252,7 @@ def bench_device_geos(mark, n=64, ngeo=100):
 def main():
     import dataclasses
 
+    ensure_tpu_reachable()
     import jax
     import jax.numpy as jnp
 

@@ -42,6 +42,9 @@ def record(result):
 
 
 def main(num_iters=1000, small=False, eht=False):
+    from bench import ensure_tpu_reachable
+    ensure_tpu_reachable(
+        metric='time_to_recover_eht' if eht else 'time_to_recover')
     import jax
 
     from bhnerf_tpu.utils import compilation_cache_dir
