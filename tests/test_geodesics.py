@@ -315,14 +315,17 @@ def test_trace_rejects_nonunit_mass():
                         np.deg2rad(60), M=2.0)
 
 
-def test_device_backend_f32_trace_matches_f64():
+@pytest.mark.parametrize('spin,inc_deg', [(0.94, 60), (0.5, 20),
+                                          (0.0, 85)])
+def test_device_backend_f32_trace_matches_f64(spin, inc_deg):
     """backend='device' (f32, accelerator path — CPU backend under the
-    test config) tracks the f64 host trace: geometry to ~1e-3 M away
-    from the critical curve, and the Kahan-corrected coordinate time to
-    ~1e-3 M even though t itself reaches O(r_o)."""
+    test config) tracks the f64 host trace across the spin/inclination
+    envelope: geometry to ~1e-3 M away from the critical curve, and the
+    Kahan-corrected coordinate time to ~1e-3 M even though t itself
+    reaches O(r_o)."""
     from bhnerf_tpu.geodesics import image_plane_geos
 
-    kw = dict(spin=0.94, inclination=np.deg2rad(60),
+    kw = dict(spin=spin, inclination=np.deg2rad(inc_deg),
               alpha_range=(-8, 8), beta_range=(-8, 8), ngeo=24,
               num_alpha=12, num_beta=12, n_fine=2048)
     g64 = image_plane_geos(**kw)
