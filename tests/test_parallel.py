@@ -274,3 +274,65 @@ def test_scan_chunked_training_under_mesh():
     l_plain = run(None)
     assert l_mesh.size == l_plain.size == 3
     np.testing.assert_allclose(l_mesh, l_plain, rtol=2e-3)
+
+
+def test_eht_scan_step_under_mesh():
+    """The north-star EHT (visibility-loss) scan step is mesh-agnostic:
+    DFT operators sharded over 'data' frames + sample-parallel compact
+    crt over 'ray' reproduce the unsharded loss chain."""
+    import jax
+    import jax.numpy as jnp
+    from bhnerf_tpu import constants, observation as obs_lib, units
+    from bhnerf_tpu.models import NeRFPredictor
+    from bhnerf_tpu.train import TrainState, TrainStep, make_optimizer
+    from bhnerf_tpu.train import raytracing_args as rt_args
+    from bhnerf_tpu.train.step import make_scan_step
+
+    fov = 16.0
+    nt, npx = 8, 12
+    geos = image_plane_geos(spin=0.0, inclination=np.deg2rad(60),
+                            alpha_range=(-fov / 2, fov / 2),
+                            beta_range=(-fov / 2, fov / 2), ngeo=24,
+                            num_alpha=npx, num_beta=npx, n_fine=1024)
+    Omega = geos.keplerian_omega()
+    rt = rt_args(geos, Omega, -float(geos.r_o + 4),
+                 units.Quantity(4.0, 'hr'))
+    predictor = NeRFPredictor(scale=fov / 2, rmin=3.0, rmax=fov / 2,
+                              z_width=2.0, net_depth=2, net_width=16)
+    t_frames = units.Quantity(
+        np.linspace(4.0, 15.5, nt).astype(np.float32), 'hr')
+    rng = np.random.default_rng(0)
+    movie = rng.random((nt, npx, npx), dtype=np.float32)
+    array = obs_lib.load_txt('eht_arrays/EHT2017.txt')
+    obs0 = obs_lib.empty_eht_obs(array, nt=nt, tint=60.0)
+    fov_rad = float(fov * constants.GM_c2(constants.sgra_mass).value
+                    / constants.sgra_distance.to('m').value)
+    obs = obs_lib.observe_same(movie, np.asarray(t_frames.value),
+                               fov_rad / npx, obs0, thermal_noise=False)
+
+    ts = TrainStep.eht(t_frames, obs, fov_rad, npx, predictor,
+                       dtype='vis', fused=True)
+    scan_fn = make_scan_step(batchsize=4, chunk=3, **ts.scan_meta)
+
+    def run(mesh):
+        from bhnerf_tpu.train.step import compact_raytracing_args
+        if mesh is None:
+            crt = compact_raytracing_args(rt, predictor, tile=256)
+            dev_args = ts.args[0].device_args
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            crt = compact_raytracing_args(rt, predictor, tile=256,
+                                          mesh=mesh)
+            sh = NamedSharding(mesh, P('data'))
+            dev_args = [jax.device_put(jnp.asarray(a), sh)
+                        for a in ts.args[0].args]
+        state = TrainState.create(predictor.init_params(seed=0),
+                                  make_optimizer(10))
+        state, losses = scan_fn(state, *dev_args, jax.random.PRNGKey(7),
+                                crt, 1.0)
+        return np.asarray(losses)
+
+    l_plain = run(None)
+    l_mesh = run(create_mesh((4, 2)))
+    assert l_plain.shape == (3,)
+    np.testing.assert_allclose(l_mesh, l_plain, rtol=2e-3)
