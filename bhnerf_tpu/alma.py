@@ -51,8 +51,8 @@ def image_plane_model(inc, spin, params, rot_angle=0.0,
 
     backend='device' traces the geodesics on the accelerator in float32
     (geodesics.trace_geodesics) — the chi^2 grid scans re-trace per grid
-    point and per sub-pixel variant, which dominates their wall time on
-    a 1-core host."""
+    point and per sub-pixel variant (measured ~10x per table vs the f64
+    host trace even on CPU; see trace_geodesics)."""
     num_alpha, num_beta = params['num_alpha'], params['num_beta']
     fov_M = params['fov_M']
 

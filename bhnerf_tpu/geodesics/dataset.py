@@ -232,8 +232,10 @@ def trace_geodesics(alpha, beta, spin, inclination, ngeo=100, distance=1000.0,
     tracks the f64 one to ~1e-3 M in position and ~1e-4 M in retarded
     time (pinned by tests/test_geodesics.py). Use it when tables are
     needed in bulk — e.g. chi^2 inclination/spin grid scans re-trace per
-    grid point and per sub-pixel variant; on-chip each table is
-    ~100-1000x faster than the 1-core host trace.
+    grid point and per sub-pixel variant: measured ~10x per table on the
+    1-core host alone (64x64x100: 2.8 s f64 -> 0.27 s f32 warm), more on
+    the chip (bench.py tracks geos_device_trace_s), and ensembles batch
+    into one dispatch (alma._trace_subpixel_ensemble).
     """
     import contextlib
     if not 0.0 <= spin < 1.0:

@@ -8,8 +8,9 @@ checkpoint with alma.chi2_df, and verify chi^2 minimizes at the truth.
 Run:  python examples/recovery_analysis_chi2_grid.py [--small]
       [--device-geos]   trace each grid point's tables on the
                         accelerator (f32, one stacked dispatch per grid
-                        point) instead of the host — the scan's table
-                        cost drops ~100x on a TPU-attached host
+                        point) instead of the f64 host path (~10x per
+                        table measured on CPU alone; see
+                        geodesics.trace_geodesics)
 """
 import argparse
 import os
