@@ -186,15 +186,25 @@ def _fwd_kernel(t_ref, coords_ref, omega_ref, tg_ref, smask_ref, *rest,
         f_ref[:] = F.astype(dtype)
 
 
-def _bwd_kernel(g_ref, em_ref, f_ref, *rest, nt, cfg, dtype):
-    """Parameter gradients from stashed (em, F): no prologue remat, no
-    final dense (the stored em is the masked sigmoid output, and the
-    0/1 mask folds into it: d_out = g * em * (1 - em))."""
+def _bwd_kernel(g_ref, em_ref, f_ref, omega_ref, *rest, nt, cfg, deg,
+                dtype):
+    """Parameter + frame-time gradients from stashed (em, F): no
+    prologue remat, no final dense (the stored em is the masked sigmoid
+    output, and the 0/1 mask folds into it: d_out = g * em * (1 - em)).
+
+    The t_eff cotangent (learnable injection time) rides the same pass
+    for free: the F cotangent d_F chains to the warp angle with NO trig
+    — the stashed features hold both sin(2^i w) and cos(2^i w) rows
+    (the posenc's +pi/2 blocks), and the rigid-rotation derivative is
+    dw/dtheta = (wy, -wx, 0) — stashed w rows again. Invalid/padded
+    samples have w = 0 rows, so their contribution vanishes
+    identically."""
     net_depth, net_width, do_skip = cfg
     skip_layer = net_depth // 2 if do_skip else None
     n_wb = 2 * (net_depth + 1)
     wb_refs = rest[:n_wb]
-    grad_refs = rest[n_wb:]
+    grad_refs = rest[n_wb:-1]
+    dt_ref = rest[-1]
 
     def grad_W(d_pre, inp):
         """dW^T (out, in) = d_pre (out, N) . inp (in, N), contract N."""
@@ -232,10 +242,13 @@ def _bwd_kernel(g_ref, em_ref, f_ref, *rest, nt, cfg, dtype):
                                    keepdims=True))
     d_h = back_h(wb_refs[2 * net_depth][:], d_out)  # (in, nt*tile)
 
+    d_F = None                                      # (feat, nt*tile)
     for i in range(net_depth - 1, -1, -1):
         h_i = acts[i]
         if do_skip and i > 0 and i % skip_layer == 0:
-            # h_i = concat([relu_out, F], 0); F carries no gradient
+            # h_i = concat([relu_out, F], 0): the F branch's cotangent
+            # feeds the warp-angle gradient below
+            d_F = d_h[net_width:] if d_F is None else d_F + d_h[net_width:]
             d_h = d_h[:net_width]
             relu_out = h_i[:net_width]
         else:
@@ -249,16 +262,40 @@ def _bwd_kernel(g_ref, em_ref, f_ref, *rest, nt, cfg, dtype):
                                keepdims=True))
         if i > 0:
             d_h = back_h(wb_refs[2 * i][:], d_pre)
+        else:
+            dF0 = back_h(wb_refs[0][:], d_pre)
+            d_F = dF0 if d_F is None else d_F + dF0
+
+    # ---- frame-time (t_eff) cotangent: posenc chain + warp derivative
+    # F rows: [w (3) | sin(2^i w) (3 per i) | cos(2^i w) (3 per i)]
+    dF = d_F.astype(jnp.float32)
+    Ff = F.astype(jnp.float32)
+    dw = dF[0:3]
+    for i in range(deg):
+        s_rows = Ff[3 + 3 * i:6 + 3 * i]
+        c_rows = Ff[3 + 3 * deg + 3 * i:6 + 3 * deg + 3 * i]
+        ds = dF[3 + 3 * i:6 + 3 * i]
+        dc = dF[3 + 3 * deg + 3 * i:6 + 3 * deg + 3 * i]
+        dw = dw + (2.0 ** i) * (ds * c_rows - dc * s_rows)
+    # dtheta = dw . dw/dtheta with dw/dtheta = (wy, -wx, 0)
+    dtheta = dw[0:1] * Ff[1:2] - dw[1:2] * Ff[0:1]  # (1, nt*tile)
+    tile = g_ref.shape[1]
+    om = omega_ref[:].astype(jnp.float32)           # (1, tile)
+    dt_local = jnp.concatenate(
+        [jnp.sum(dtheta[:, t * tile:(t + 1) * tile] * om, axis=1,
+                 keepdims=True) for t in range(nt)], axis=0)  # (nt, 1)
 
     is_first = pl.program_id(0) == 0
-    for k, ref in enumerate(grad_refs):
+    for k, ref in enumerate(list(grad_refs) + [dt_ref]):
+        val = local[k] if k < len(grad_refs) else dt_local
+
         @pl.when(is_first)
-        def _(ref=ref, k=k):
-            ref[:] = local[k]
+        def _(ref=ref, val=val):
+            ref[:] = val
 
         @pl.when(jnp.logical_not(is_first))
-        def _(ref=ref, k=k):
-            ref[:] = ref[:] + local[k]
+        def _(ref=ref, val=val):
+            ref[:] = ref[:] + val
 
 
 def _full_specs(n):
@@ -294,6 +331,15 @@ def _pick_tile(nt, dtype):
     while nt * tile > max_cols and tile > 512:
         tile //= 2
     return tile
+
+
+def max_folded_frames(compute_dtype='float32'):
+    """Largest frame count one kernel dispatch can fold at the minimum
+    (512) sample tile; callers with more frames must batch (see
+    render_samples, which does so automatically)."""
+    dtype = jnp.bfloat16 if compute_dtype == 'bfloat16' else jnp.float32
+    max_cols = (6 if dtype == jnp.bfloat16 else 4) * TILE_N
+    return max_cols // 512
 
 
 def _check_folded_vmem(nt, tile, dtype):
@@ -347,18 +393,22 @@ def _render_fwd(t_eff, coords, omega, tg, smask, packed, cfg, scale, deg,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('cfg', 'compute_dtype'))
-def _render_bwd(g_em, em, f_store, packed, cfg, compute_dtype):
+                   static_argnames=('cfg', 'deg', 'compute_dtype'))
+def _render_bwd(g_em, em, f_store, omega, packed, cfg, deg,
+                compute_dtype):
     nt, n = g_em.shape
     feat = f_store.shape[0]
     dtype = jnp.bfloat16 if compute_dtype == 'bfloat16' else jnp.float32
     tile = _pick_tile(nt, dtype)
     _check_folded_vmem(nt, tile, dtype)
     n_tiles = n // tile
-    kernel = functools.partial(_bwd_kernel, nt=nt, cfg=cfg, dtype=dtype)
-    # grads match the packed layout: dW^T (out, in), db (out, 1)
+    kernel = functools.partial(_bwd_kernel, nt=nt, cfg=cfg, deg=deg,
+                               dtype=dtype)
+    # grads match the packed layout: dW^T (out, in), db (out, 1);
+    # the trailing (nt, 1) output is the t_eff cotangent
     grad_shapes = [jax.ShapeDtypeStruct(p.shape, jnp.float32)
                    for p in packed]
+    grad_shapes.append(jax.ShapeDtypeStruct((nt, 1), jnp.float32))
 
     def const_spec(shape):
         ndim = len(shape)
@@ -369,17 +419,20 @@ def _render_bwd(g_em, em, f_store, packed, cfg, compute_dtype):
                           memory_space=pltpu.VMEM)
     f_spec = pl.BlockSpec((feat, nt * tile), lambda j: (0, j),
                           memory_space=pltpu.VMEM)
-    grads = pl.pallas_call(
+    om_spec = pl.BlockSpec((1, tile), lambda j: (0, j),
+                           memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[g_spec, g_spec, f_spec] + _full_specs(len(packed)),
+        in_specs=[g_spec, g_spec, f_spec, om_spec]
+                 + _full_specs(len(packed)),
         out_specs=[const_spec(s.shape) for s in grad_shapes],
         out_shape=grad_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(g_em, em, f_store, *packed)
-    return grads
+    )(g_em, em, f_store, omega, *packed)
+    return outs[:-1], outs[-1]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
@@ -389,7 +442,10 @@ def fused_render(params, coords, omega, tg, smask, t_eff, cfg, scale, deg,
 
     coords (3, N), omega/tg/smask (1, N) with N a multiple of TILE_N;
     t_eff (nt, 1) frame times in M units with t_injection subtracted.
-    Returns emission (nt, N). Gradients flow to `params` only.
+    Returns emission (nt, N). Gradients flow to `params` and `t_eff`
+    (the latter carries the learnable injection time: subtracting a
+    traced offset outside the kernel composes with the kernel's t_eff
+    cotangent); the frozen ray constants get zero cotangents.
 
     smask MUST be a binary 0/1 mask: the backward kernel reconstructs
     the sigmoid derivative from the stored masked emission
@@ -416,22 +472,25 @@ def _fr_fwd(params, coords, omega, tg, smask, t_eff, cfg, scale, deg,
     # warp/posenc remat and the final dense entirely. Memory tradeoff:
     # f_store is feat*nt*N_pad of compute dtype held fwd->bwd (~100 MB
     # for a dense 64x64x100 grid at nt=6, ~18 MB compact); gradient
-    # paths with BOTH dense sampling and large nt should batch frames
-    return out, (params, out, f_store)
+    # paths with BOTH dense sampling and large nt should batch frames.
+    # omega rides along for the t_eff cotangent (dtheta/dt = Omega).
+    return out, (params, out, f_store, omega)
 
 
 def _fr_bwd(cfg, scale, deg, compute_dtype, residuals, g_em):
-    params, em, f_store = residuals
+    params, em, f_store, omega = residuals
     packed = pack_params(params, cfg[0])
-    flat = _render_bwd(g_em, em, f_store, packed, cfg, compute_dtype)
+    flat, d_t = _render_bwd(g_em, em, f_store, omega, packed, cfg, deg,
+                            compute_dtype)
     d_params = unpack_grads(list(flat), cfg[0])
     # the cotangent tree must match the input params tree. The only
-    # non-MLP leaf with defined (intentionally-external) semantics is the
-    # learn_injection offset: its warp gradient lives outside this
-    # kernel's VJP and train.step routes learnable-injection training
-    # through the XLA path, so a zero here is correct-by-construction.
-    # Any OTHER unexpected leaf would silently get a wrong zero gradient
-    # — refuse instead of corrupting external callers' training.
+    # non-MLP leaf with defined semantics is the learn_injection offset:
+    # its gradient flows through the t_eff cotangent OUTSIDE this VJP
+    # (t_eff = t_frames - t_injection is traced by the caller), so a
+    # zero on the params leaf itself is correct — autodiff adds the
+    # -sum(d_t) contribution when composing. Any OTHER unexpected leaf
+    # would silently get a wrong zero gradient — refuse instead of
+    # corrupting external callers' training.
     for k, v in params.items():
         if k not in d_params:
             if k != 't_injection':
@@ -443,7 +502,7 @@ def _fr_bwd(cfg, scale, deg, compute_dtype, residuals, g_em):
     nt, n = em.shape
     zrow = jnp.zeros((1, n), jnp.float32)
     return (d_params, jnp.zeros((3, n), jnp.float32), zrow, zrow, zrow,
-            jnp.zeros((nt, 1), jnp.float32))
+            d_t)
 
 
 fused_render.defvjp(_fr_fwd, _fr_bwd)
@@ -480,12 +539,26 @@ def render_samples(params, predictor, t_frames_M, coords, omega, tg,
     n = int(np.prod(coords.shape[1:]))
     coords_n, omega_n, tg_n, smask_n, n_pad = _flatten_sample_args(
         coords, omega, tg, smask, n)
+    # t_injection may be a traced expression of params (learnable
+    # injection time): the kernel VJP emits a t_eff cotangent, so the
+    # subtraction composes to the correct -sum(d_t) offset gradient
     t_eff = (jnp.asarray(t_frames_M, jnp.float32).reshape(-1, 1)
-             - jax.lax.stop_gradient(jnp.asarray(t_injection, jnp.float32)))
+             - jnp.asarray(t_injection, jnp.float32))
     cfg = (predictor.net_depth, predictor.net_width, predictor.do_skip)
-    em = fused_render(params, coords_n, omega_n, tg_n, smask_n, t_eff, cfg,
-                      float(predictor.scale), int(predictor.posenc_deg),
-                      getattr(predictor, 'compute_dtype', 'float32'))
+    compute_dtype = getattr(predictor, 'compute_dtype', 'float32')
+    # frame counts past the folded-VMEM budget (e.g. full-movie renders
+    # at nt=64) are batched over several kernel dispatches; shapes are
+    # static so the chunk loop unrolls under jit. Gradients compose: each
+    # chunk stashes/backprops independently and param grads sum.
+    nt_flat = t_eff.shape[0]
+    nt_max = max_folded_frames(compute_dtype)
+    ems = [
+        fused_render(params, coords_n, omega_n, tg_n, smask_n,
+                     t_eff[i:i + nt_max], cfg, float(predictor.scale),
+                     int(predictor.posenc_deg), compute_dtype)
+        for i in range(0, nt_flat, nt_max)
+    ]
+    em = ems[0] if len(ems) == 1 else jnp.concatenate(ems, axis=0)
     return em[:, :n]
 
 
@@ -499,12 +572,14 @@ def predict_emission_fused(params, predictor, t_frames_M, rt):
     runs that need sample-parallel kernels should shard_map this; the
     measured single-chip path is the production configuration."""
     from bhnerf_tpu import emission as emission_lib
+    from bhnerf_tpu.models.fields import learned_t_injection
 
     # supervision-domain mask on the unwarped coords (static per model)
     domain = emission_lib.domain_mask(rt.coords, predictor.rmin,
                                       predictor.rmax, predictor.z_width)
     em = render_samples(params, predictor, t_frames_M, rt.coords, rt.Omega,
-                        rt.t_geos_rel, rt.t_injection,
+                        rt.t_geos_rel,
+                        learned_t_injection(params, rt.t_injection),
                         smask=domain.astype(jnp.float32))
     t_shape = jnp.shape(t_frames_M)
     return em.reshape(*t_shape, *rt.coords.shape[1:])

@@ -32,9 +32,12 @@ from bhnerf_tpu.ops import gr
 
 
 def _wants_warp_grad(params):
-    """True when params carry the learnable injection offset, whose
-    gradient flows through the velocity warp — outside the fused
-    kernel's MLP-params-only VJP, so such requests route through XLA."""
+    """True when params carry the learnable injection offset. Since the
+    fused kernel's VJP emits a t_eff cotangent (ops/fused.py bwd kernel:
+    the warp-angle gradient reconstructed from the stashed sin/cos
+    feature rows), such params train on the fused path too — this
+    predicate no longer gates fused routing and remains only for
+    callers that need to know a warp gradient exists."""
     return isinstance(params, dict) and 't_injection' in params
 
 
@@ -593,10 +596,10 @@ def _compact_emission(params, predictor, t_frames_M, crt: CompactRayArgs,
     n = crt.coords.shape[-1]
     t_shape = jnp.shape(t_frames_M)
 
-    # XLA path when gradients must flow through the warp, or for
-    # out_channel > 1 (the kernel emits one emission row per sample)
-    fused = (fused and not _wants_warp_grad(params)
-             and getattr(predictor, 'out_channel', 1) == 1)
+    # XLA path for out_channel > 1 (the kernel emits one emission row
+    # per sample); learnable injection offsets ride the fused path —
+    # the kernel VJP carries the t_eff cotangent
+    fused = fused and getattr(predictor, 'out_channel', 1) == 1
 
     if fused:
         # warp + posenc + MLP all inside the Pallas kernel; the sample
@@ -604,7 +607,8 @@ def _compact_emission(params, predictor, t_frames_M, crt: CompactRayArgs,
         from bhnerf_tpu.ops import fused as fused_lib
         em = fused_lib.render_samples(
             params, predictor, t_frames_M, crt.coords, crt.Omega,
-            crt.t_geos_rel, crt.t_injection)
+            crt.t_geos_rel,
+            learned_t_injection(params, crt.t_injection))
         emission = em.reshape(*t_shape, n)
     else:
         warped, valid = emission_lib.velocity_warp_coords(
@@ -715,9 +719,9 @@ def compact_lightcurve(params, predictor, t_frames_M, crt: CompactRayArgs,
     ~2 ms/step at the polarized flagship shape) is dead weight: the
     per-Stokes totals are ONE (F, N) @ (N, ns) matmul on the MXU, and
     its VJP is the transposed matmul. loss_fn_image routes compact 'lc'
-    losses here; the per-pixel image path still feeds the aux images
-    (XLA dead-code-eliminates it inside the gradient step, where aux is
-    discarded).
+    losses through compact_image_and_lightcurve (same math, emission
+    shared with the aux images); this standalone variant serves
+    callers that never need images.
     """
     t_shape = jnp.shape(t_frames_M)
 
@@ -736,6 +740,35 @@ def compact_lightcurve(params, predictor, t_frames_M, crt: CompactRayArgs,
     return lc
 
 
+def compact_image_and_lightcurve(params, predictor, t_frames_M,
+                                 crt: CompactRayArgs, fused=False):
+    """(images, lightcurve) from ONE emission pass over compact samples.
+
+    The per-step (non-scan) 'lc' gradient step returns the per-pixel
+    images as aux, and Pallas custom-calls are not CSE'd — computing the
+    image and lightcurve independently would run the fused forward twice
+    (and dispatch two shard_maps under a mesh). Share the emission: the
+    lightcurve is em @ W^T and the image reduce rides the same pass
+    (XLA still dead-code-eliminates the reduce wherever the aux is
+    discarded, e.g. inside scan-chunked steps).
+    """
+    t_shape = jnp.shape(t_frames_M)
+    if crt.mesh is not None:
+        images, lc = _sharded_compact_apply(
+            params, predictor, t_frames_M, crt, fused,
+            lambda em, local: (_reduce_to_images(em, local),
+                               em @ local.weights.T))
+    else:
+        em = _compact_emission(params, predictor, t_frames_M, crt, fused)
+        images = _reduce_to_images(em, crt)
+        lc = em @ crt.weights.T                       # (F, nstokes)
+    images = _shape_images(images, t_shape, crt)
+    lc = lc.reshape(*t_shape, crt.num_stokes)
+    if not crt.polarized:
+        lc = lc[..., 0]
+    return images, lc
+
+
 def image_plane_prediction(params, predictor, t_frames_M,
                            rt, fused=False):
     """Emission -> (polarized) image-plane frames
@@ -745,14 +778,14 @@ def image_plane_prediction(params, predictor, t_frames_M,
     if isinstance(rt, CompactRayArgs):
         return _compact_prediction(params, predictor, t_frames_M, rt,
                                    fused=fused)
-    if (fused and not _wants_warp_grad(params)
-            and getattr(predictor, 'out_channel', 1) == 1):
+    if fused and getattr(predictor, 'out_channel', 1) == 1:
+        # learnable injection offsets included: the kernel VJP carries
+        # the t_eff cotangent (ops/fused.py)
         from bhnerf_tpu.ops import fused as fused_lib
         emission = fused_lib.predict_emission_fused(
             params, predictor, t_frames_M, rt)
     else:
-        # XLA path (also taken for a learnable injection offset, whose
-        # gradient flows through the warp — outside the fused VJP)
+        # XLA path (out_channel > 1)
         emission = predict_emission(params, predictor, t_frames_M, rt)
     from bhnerf_tpu.emission import apply_stokes_factors
     emission = apply_stokes_factors(emission, rt.J)
@@ -762,18 +795,21 @@ def image_plane_prediction(params, predictor, t_frames_M,
 def loss_fn_image(params, predictor, target, sigma, offset, t_frames_M,
                   rt, scale, dtype, fused=False):
     """Chi-square image/lightcurve loss (reference network.py:422-484)."""
-    images = image_plane_prediction(params, predictor, t_frames_M, rt,
-                                    fused=fused)
     if dtype == 'full':
+        images = image_plane_prediction(params, predictor, t_frames_M, rt,
+                                        fused=fused)
         loss = jnp.sum(jnp.abs((images - target - offset) / sigma) ** 2)
     elif dtype == 'lc':
         if isinstance(rt, CompactRayArgs):
-            # one matmul instead of the per-pixel reduce + pixel sum
-            # (bit-different only by float reassociation); the aux
-            # images above are dead code inside the gradient step
-            lightcurve = compact_lightcurve(params, predictor,
-                                            t_frames_M, rt, fused=fused)
+            # the lightcurve is one matmul instead of the per-pixel
+            # reduce + pixel sum (bit-different only by float
+            # reassociation); the aux images share the same emission
+            # pass and are dead code wherever the aux is discarded
+            images, lightcurve = compact_image_and_lightcurve(
+                params, predictor, t_frames_M, rt, fused=fused)
         else:
+            images = image_plane_prediction(params, predictor, t_frames_M,
+                                            rt, fused=fused)
             lightcurve = images.sum(axis=(-1, -2))
         loss = jnp.sum(jnp.abs((lightcurve - target - offset) / sigma) ** 2)
     else:
@@ -795,9 +831,16 @@ def to_real_measurements(dtype, target, sigma, A):
                 A (..., 3, 2, ntri, npix^2)
     * 'logcamp'/'camp': target (..., nquad) real; A
                 (..., 4, 2, nquad, npix^2)
+
+    Factored operators (observation.chisqdata(operator='factored')) are
+    already real separable stacks (..., 4, n, npix) — passed through
+    unchanged (loss_fn_eht detects the form by the trailing dim).
     """
     A = np.asarray(A)
-    A_ri = np.stack([A.real, A.imag], axis=-3).astype(np.float32)
+    if np.iscomplexobj(A):
+        A_ri = np.stack([A.real, A.imag], axis=-3).astype(np.float32)
+    else:
+        A_ri = A.astype(np.float32)
     target = np.asarray(target)
     sigma = np.asarray(sigma, np.float32)
     if dtype in ('vis', 'bs'):
@@ -808,6 +851,41 @@ def to_real_measurements(dtype, target, sigma, A):
         return np.nan_to_num(target_ri), sigma_ri, np.nan_to_num(A_ri)
     return (np.nan_to_num(np.asarray(target, np.float32)), sigma,
             np.nan_to_num(A_ri))
+
+
+def apply_measurement_operator(images, A):
+    """images (..., ny, nx) -> visibilities (..., 2, n) [re, im].
+
+    Two operator forms, discriminated by the trailing dim:
+
+    * dense (..., 2, n, ny*nx): one batched matmul against vec(image)
+      (the re/im rows of the complex DTFT matrix).
+    * factored (..., 4, n, npix) [Cu, Su, Cv, Sv]: the separable type-3
+      DFT (observation.dft_factors) as TWO real (ny, nx) @ (nx, n) MXU
+      matmuls contracting the image x-axis, then an elementwise combine
+      + y-reduction:
+          V = sum_y (Cv - i Sv) * (Tc - i Ts),   T* = I @ {Cu,Su}^T
+      npix-fold less operator memory/HBM traffic than dense — the
+      production-npix path (reference uses ehtim NFFT,
+      observation.py:121).
+    """
+    npix2 = images.shape[-1] * images.shape[-2]
+    if A.shape[-1] == npix2 and A.shape[-3] != 4:
+        image_vectors = images.reshape(*images.shape[:-2], -1, 1)
+        image_vectors = utils.expand_dims(image_vectors, A.ndim, axis=-3)
+        return jnp.squeeze(jnp.matmul(A, image_vectors), -1)
+    if A.shape[-3] != 4:
+        raise ValueError(
+            f'measurement operator shape {A.shape} matches neither the '
+            f'dense (..., 2, n, {npix2}) nor the factored (..., 4, n, '
+            f'npix) layout for image shape {images.shape}')
+    imgs = utils.expand_dims(images, A.ndim - 1, axis=-3)
+    cu, su, cv, sv = (A[..., i, :, :] for i in range(4))
+    tc = jnp.einsum('...yx,...kx->...ky', imgs, cu)
+    ts = jnp.einsum('...yx,...kx->...ky', imgs, su)
+    re = jnp.sum(cv * tc - sv * ts, axis=-1)
+    im = -jnp.sum(sv * tc + cv * ts, axis=-1)
+    return jnp.stack([re, im], axis=-2)
 
 
 def loss_fn_eht(params, predictor, target, sigma, A, t_frames_M, rt,
@@ -821,9 +899,7 @@ def loss_fn_eht(params, predictor, target, sigma, A, t_frames_M, rt,
     """
     images = image_plane_prediction(params, predictor, t_frames_M, rt,
                                     fused=fused)
-    image_vectors = images.reshape(*images.shape[:-2], -1, 1)
-    image_vectors = utils.expand_dims(image_vectors, A.ndim, axis=-3)
-    vis_ri = jnp.squeeze(jnp.matmul(A, image_vectors), -1)
+    vis_ri = apply_measurement_operator(images, A)
     if dtype == 'vis':
         # vis_ri, target: (..., 2, nvis)
         chisq = jnp.sum(((vis_ri - target) / sigma) ** 2)

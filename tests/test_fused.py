@@ -165,3 +165,76 @@ def test_fused_flag_routes_multichannel_to_xla():
     bb = np.asarray(image_plane_prediction(params, pred, t, rt,
                                            fused=False))
     np.testing.assert_allclose(a, bb, atol=1e-6)
+
+
+def test_fused_learn_injection_grad_matches_xla(setup):
+    """The learnable injection offset trains on the FUSED path: its
+    gradient (kernel t_eff cotangent: warp-angle chain rebuilt from the
+    stashed sin/cos feature rows, dw/dtheta = (wy, -wx, 0)) matches the
+    XLA path's autodiff-through-the-warp gradient (VERDICT r3 missing
+    #3). MLP gradients must stay equal too."""
+    import dataclasses as dc
+    predictor, _, rt, t_frames_M = setup
+    pred = dc.replace(predictor, learn_injection=True)
+    params = pred.init_params(seed=1)
+    # boost the output layer so emission has macroscopic structure
+    # (at init em ~ sigmoid(-10) and the warp grad signal is ~1e-5)
+    out_key = f'dense_{pred.net_depth}'
+    params[out_key]['bias'] = params[out_key]['bias'] + 9.0
+    params['t_injection'] = jnp.float32(3.0)
+    assert 't_injection' in params
+    target = jnp.asarray(
+        np.random.default_rng(2).random((3, 8, 8, 16)), jnp.float32)
+
+    def loss(p, use_fused):
+        from bhnerf_tpu.train.step import image_plane_prediction
+        em = (fused.predict_emission_fused(p, pred, t_frames_M, rt)
+              if use_fused else predict_emission(p, pred, t_frames_M, rt))
+        return jnp.sum((em - target) ** 2)
+
+    l_x, g_x = jax.value_and_grad(loss)(params, False)
+    l_f, g_f = jax.value_and_grad(loss)(params, True)
+    np.testing.assert_allclose(float(l_f), float(l_x), rtol=1e-5)
+
+    gt_x = float(np.asarray(g_x['t_injection']))
+    gt_f = float(np.asarray(g_f['t_injection']))
+    assert abs(gt_x) > 1e-4, 'degenerate test: zero warp gradient'
+    np.testing.assert_allclose(gt_f, gt_x, rtol=2e-3)
+
+    for k in g_x:
+        if k == 't_injection':
+            continue
+        scale = np.abs(np.asarray(g_x[k]['kernel'])).max() + 1e-8
+        np.testing.assert_allclose(
+            np.asarray(g_f[k]['kernel']) / scale,
+            np.asarray(g_x[k]['kernel']) / scale, atol=5e-5,
+            err_msg=k)
+
+
+def test_fused_learn_injection_compact_path(setup):
+    """Compact args + learnable injection stay on the fused pipeline
+    (no silent XLA reroute) and the t_injection gradient matches the
+    compact XLA path."""
+    import dataclasses as dc
+    from bhnerf_tpu.train.step import (compact_raytracing_args,
+                                       image_plane_prediction)
+    predictor, _, rt, t_frames_M = setup
+    pred = dc.replace(predictor, learn_injection=True)
+    params = pred.init_params(seed=3)
+    out_key = f'dense_{pred.net_depth}'
+    params[out_key]['bias'] = params[out_key]['bias'] + 9.0
+    params['t_injection'] = jnp.float32(-2.0)
+    crt = compact_raytracing_args(rt, pred, tile=256)
+
+    def loss(p, use_fused):
+        img = image_plane_prediction(p, pred, t_frames_M, crt,
+                                     fused=use_fused)
+        return jnp.sum(img ** 2)
+
+    l_x, g_x = jax.value_and_grad(loss)(params, False)
+    l_f, g_f = jax.value_and_grad(loss)(params, True)
+    np.testing.assert_allclose(float(l_f), float(l_x), rtol=1e-5)
+    gt_x = float(np.asarray(g_x['t_injection']))
+    gt_f = float(np.asarray(g_f['t_injection']))
+    assert abs(gt_x) > 1e-6, 'degenerate test: zero warp gradient'
+    np.testing.assert_allclose(gt_f, gt_x, rtol=2e-3)
