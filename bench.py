@@ -47,13 +47,15 @@ def ensure_tpu_reachable(timeout=300, metric='train_ray_samples_per_sec'):
     except subprocess.TimeoutExpired:
         ok = False
     if not ok:
+        # value null + rc=2: an infra outage must never be parseable as
+        # a measured 0 samples/s regression (ADVICE r3)
         print(json.dumps({
-            'metric': metric, 'value': 0,
-            'unit': 'samples/s', 'vs_baseline': 0,
+            'metric': metric, 'value': None,
+            'unit': 'samples/s', 'vs_baseline': None,
             'error': f'TPU unreachable (device init exceeded {timeout}s '
                      '- axon tunnel outage)'}))
         print('# TPU unreachable; see error key', file=sys.stderr)
-        sys.exit(0)
+        sys.exit(2)
 
 # chip peak dense-matmul throughput (bf16, FLOP/s). MFU is conventionally
 # reported against the native MXU peak regardless of achieved precision.
@@ -209,26 +211,34 @@ def bench_eht_step(predictor, geos, rt, crt, t_frames_hr, mark,
     obs = observation.observe_same(movie, np.asarray(t_frames_hr),
                                    fov_rad / num, obs_empty,
                                    thermal_noise=True, seed=0)
-    train_step = TrainStep.eht(
-        units.Quantity(np.asarray(t_frames_hr, np.float32), 'hr'), obs,
-        fov_rad, num, predictor, dtype='vis', fused=True)
-    scan_fn = make_scan_step(batchsize=6, chunk=chunk,
-                             **train_step.scan_meta)
-    state = TrainState.create(predictor.init_params(seed=0),
-                              make_optimizer(50000))
-    dev_args = train_step.args[0].device_args
-    state, losses = scan_fn(state, *dev_args, jax.random.PRNGKey(0),
-                            crt, 1.0)
-    jax.block_until_ready(losses)
-    t0 = time.perf_counter()
-    for i in range(2):
-        state, losses = scan_fn(state, *dev_args,
-                                jax.random.PRNGKey(1 + i), crt, 1.0)
-    jax.block_until_ready(losses)
-    steps_per_sec = 2 * chunk / (time.perf_counter() - t0)
-    mark(f'eht (vis-loss) path: {steps_per_sec:.2f} steps/s')
-    return {'eht_steps_per_sec': round(steps_per_sec, 2),
-            'eht_nvis_per_frame': int(dev_args[2].shape[-2])}
+    out = {}
+    for op in ('dense', 'factored'):
+        train_step = TrainStep.eht(
+            units.Quantity(np.asarray(t_frames_hr, np.float32), 'hr'),
+            obs, fov_rad, num, predictor, dtype='vis', fused=True,
+            operator=op)
+        scan_fn = make_scan_step(batchsize=6, chunk=chunk,
+                                 **train_step.scan_meta)
+        state = TrainState.create(predictor.init_params(seed=0),
+                                  make_optimizer(50000))
+        dev_args = train_step.args[0].device_args
+        state, losses = scan_fn(state, *dev_args, jax.random.PRNGKey(0),
+                                crt, 1.0)
+        jax.block_until_ready(losses)
+        t0 = time.perf_counter()
+        for i in range(2):
+            state, losses = scan_fn(state, *dev_args,
+                                    jax.random.PRNGKey(1 + i), crt, 1.0)
+        jax.block_until_ready(losses)
+        steps_per_sec = 2 * chunk / (time.perf_counter() - t0)
+        mark(f'eht (vis-loss, {op} operator) path: '
+             f'{steps_per_sec:.2f} steps/s')
+        key = ('eht_steps_per_sec' if op == 'dense'
+               else 'eht_factored_steps_per_sec')
+        out[key] = round(steps_per_sec, 2)
+        if op == 'dense':
+            out['eht_nvis_per_frame'] = int(dev_args[2].shape[-2])
+    return out
 
 
 def bench_device_geos(mark, n=64, ngeo=100):

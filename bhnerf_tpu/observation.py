@@ -153,6 +153,11 @@ class Observation:
     tint: float = 60.0
     vis: np.ndarray = None    # (nscan, nbl, nstokes) complex
     pol_names: tuple = ('I', 'Q', 'U', 'V')
+    # ground-truth corruption actually applied by observe_same (the
+    # ehtim caltable analog — reference observation.py:121,133 writes a
+    # caltable so experiments can self-calibrate against known gains);
+    # None when the observation carries no station corruption
+    applied_jones: 'AppliedJones' = None
 
     # ---- ehtim-parity accessors -----------------------------------------
     @property
@@ -283,13 +288,41 @@ class Observation:
                    mjd=int(mjd), bw=bw, tint=tint, vis=VIS,
                    pol_names=pol_names)
 
+    def calibrate(self, jones=None, gains=True, dterms=True,
+                  field_rotation=True):
+        """Undo KNOWN station corruption (self-cal with truth tables).
+
+        jones defaults to the `applied_jones` recorded by observe_same
+        — the corrupt -> calibrate round trip then recovers the
+        uncorrupted visibilities to machine precision (minus thermal
+        noise, which no calibration removes). Pass gains/dterms/
+        field_rotation=False to leave that term in (e.g. calibrate
+        known D-terms + feed angles while fitting gain errors — the
+        ehtim inv_jones workflow, reference observation.py:183-185).
+        """
+        jones = self.applied_jones if jones is None else jones
+        if jones is None:
+            raise ValueError('no applied_jones recorded on this '
+                             'observation and none passed')
+        if self.vis is None:
+            raise ValueError('observation carries no visibilities')
+        vis = apply_inverse_jones(
+            self.vis, self.baselines,
+            g_R=jones.g_R if gains else None,
+            g_L=jones.g_L if gains else None,
+            d_R=jones.d_R if dterms else None,
+            d_L=jones.d_L if dterms else None,
+            phi=jones.phi if field_rotation else None)
+        vis[~self.mask] = np.nan
+        return dataclasses.replace(self, vis=vis)
+
     # ---- measurement operators -------------------------------------------
     def chisqdata(self, t_frames, dtype, image_fov, image_size, pol='I',
-                  debias=True):
+                  debias=True, operator='dense'):
         """(target, sigma, A) stacked per frame
         (ehtim chisqdata_<dtype> + reference optimization.py:241-255).
 
-        image_fov: radians. Returns:
+        image_fov: radians. Returns (operator='dense'):
           'vis'/'amp': target (nt,[pol,]nvis), sigma same, A
               (nt,[pol,]nvis,npix^2) complex
           'cphase': target (nt, ntri), sigma (nt, ntri) [radians], A
@@ -302,8 +335,19 @@ class Observation:
         For 'amp', amplitudes are debiased by default:
         sqrt(max(|V|^2 - sigma^2, 0)) (ehtim chisqdata_amp debias=True),
         removing the low-SNR Rice-distribution bias of |V|.
+
+        operator='factored' replaces every dense-DFT axis (..., npix^2)
+        with a real separable stack (..., 4, n_meas, npix) built by
+        dft_factors — npix-fold smaller, the production-npix form (the
+        reference gets this from ehtim's NFFT backend,
+        observation.py:121). Targets/sigmas are identical; the loss
+        consumes either form transparently.
         """
         from bhnerf_tpu import units as units_lib
+        if operator not in ('dense', 'factored'):
+            raise ValueError(f'operator must be dense|factored, '
+                             f'got {operator!r}')
+        factored = operator == 'factored'
         if hasattr(t_frames, 'value'):
             t_frames = units_lib.Quantity(t_frames, 'hr').value
         t_frames = np.asarray(t_frames, np.float64)
@@ -332,14 +376,24 @@ class Observation:
             nvis = max(len(p[0]) for p in per_frame)
             target = np.zeros((nt, len(pols), nvis), complex)
             sigma = np.full((nt, len(pols), nvis), np.inf)
-            A = np.zeros((nt, len(pols), nvis, image_size**2), complex)
+            if factored:
+                A = np.zeros((nt, len(pols), 4, nvis, image_size))
+            else:
+                A = np.zeros((nt, len(pols), nvis, image_size**2),
+                             complex)
             for f, (uu, vv, tg, sg) in enumerate(per_frame):
                 n = len(uu)
-                ft = dft_matrix(uu, vv, image_fov, image_size)
+                if factored:
+                    ft = dft_factors(uu, vv, image_fov, image_size)
+                else:
+                    ft = dft_matrix(uu, vv, image_fov, image_size)
                 for k in range(len(pols)):
                     target[f, k, :n] = tg[:, k]
                     sigma[f, k, :n] = sg
-                    A[f, k, :n] = ft
+                    if factored:
+                        A[f, k, :, :n] = ft
+                    else:
+                        A[f, k, :n] = ft
             if dtype == 'amp':
                 target = np.abs(target)
                 if debias:
@@ -361,11 +415,17 @@ class Observation:
                 for s in scans:
                     rows.extend(self._scan_triangles(s, p))
                 per_frame.append(rows)
-            ntri = max(len(r) for r in per_frame)
+            # pad to >=1 row (sigma=inf, A=0 rows are loss-inert) so a
+            # frame split with no closable triangle still yields valid
+            # (nt, ntri) shapes — same guard as the logcamp branch below
+            ntri = max(max(len(r) for r in per_frame), 1)
             target = np.zeros((nt, ntri),
                               complex if dtype == 'bs' else float)
             sigma = np.full((nt, ntri), np.inf)
-            A = np.zeros((nt, 3, ntri, image_size**2), complex)
+            if factored:
+                A = np.zeros((nt, 3, 4, ntri, image_size))
+            else:
+                A = np.zeros((nt, 3, ntri, image_size**2), complex)
             for f, rows in enumerate(per_frame):
                 for k, (uvs, bisp, cp, cp_sigma) in enumerate(rows):
                     if dtype == 'bs':
@@ -377,9 +437,14 @@ class Observation:
                         target[f, k] = cp
                         sigma[f, k] = cp_sigma
                     for leg in range(3):
-                        A[f, leg, k] = dft_matrix(
-                            uvs[leg][0:1], uvs[leg][1:2], image_fov,
-                            image_size)[0]
+                        if factored:
+                            A[f, leg, :, k] = dft_factors(
+                                uvs[leg][0:1], uvs[leg][1:2], image_fov,
+                                image_size)[:, 0]
+                        else:
+                            A[f, leg, k] = dft_matrix(
+                                uvs[leg][0:1], uvs[leg][1:2], image_fov,
+                                image_size)[0]
             return target, sigma, A
 
         if dtype in ('logcamp', 'camp'):
@@ -398,15 +463,23 @@ class Observation:
             nq = max(nq, 1)
             target = np.zeros((nt, nq))
             sigma = np.full((nt, nq), np.inf)
-            A = np.zeros((nt, 4, nq, image_size**2), complex)
+            if factored:
+                A = np.zeros((nt, 4, 4, nq, image_size))
+            else:
+                A = np.zeros((nt, 4, nq, image_size**2), complex)
             for f, rows in enumerate(per_frame):
                 for k, (uvs, lca, lca_sigma) in enumerate(rows):
                     target[f, k] = lca
                     sigma[f, k] = lca_sigma
                     for leg in range(4):
-                        A[f, leg, k] = dft_matrix(
-                            uvs[leg][0:1], uvs[leg][1:2], image_fov,
-                            image_size)[0]
+                        if factored:
+                            A[f, leg, :, k] = dft_factors(
+                                uvs[leg][0:1], uvs[leg][1:2], image_fov,
+                                image_size)[:, 0]
+                        else:
+                            A[f, leg, k] = dft_matrix(
+                                uvs[leg][0:1], uvs[leg][1:2], image_fov,
+                                image_size)[0]
             if dtype == 'camp':
                 camp = np.exp(target)
                 sigma = np.where(np.isfinite(sigma), camp * sigma, np.inf)
@@ -560,6 +633,48 @@ def dft_matrix(u, v, image_fov, image_size, image_fov_y=None,
     return np.exp(-2j * np.pi * (np.outer(u, xv) + np.outer(v, yv)))
 
 
+def dft_factors(u, v, image_fov, image_size, image_fov_y=None,
+                image_size_y=None):
+    """Separable (factored) DTFT operator: real (4, nvis, npix) stack
+    [Cu, Su, Cv, Sv] with
+
+        dft_matrix(u, v)[k, r*nx + c]
+            = (Cu - i Su)[k, c] * (Cv - i Sv)[k, r]
+
+    i.e. the same type-3 DFT as `dft_matrix` factored over the image
+    axes. Memory is npix-fold smaller than the dense matrix (the
+    production-npix killer: a dense ngEHT operator at npix=128 is
+    ~320 MB/frame-batch — reference observation.py:121 solves this with
+    ehtim's NFFT backend; on TPU the factored form keeps the hot op a
+    (npix, npix) @ (npix, nvis) MXU matmul). Applied in
+    train.step.loss_fn_eht via two real matmuls + an elementwise
+    combine; the complex product (Eu*Ev) matches the dense operator to
+    f32 roundoff.
+
+    Rectangular images pass image_fov_y/image_size_y; Cu/Su then have
+    npix_x columns and Cv/Sv npix_y, padded to a common max (the
+    padding columns multiply pixels that don't exist and are never
+    read — kept zero).
+    """
+    def centered(fov, npix):
+        pdim = fov / npix
+        k = np.arange(npix)
+        return pdim * (k - npix // 2 + 0.5 * ((npix + 1) % 2))
+
+    x = -centered(image_fov, image_size)
+    y = -centered(image_fov if image_fov_y is None else image_fov_y,
+                  image_size if image_size_y is None else image_size_y)
+    pu = 2.0 * np.pi * np.outer(u, x)      # (nvis, npix_x)
+    pv = 2.0 * np.pi * np.outer(v, y)      # (nvis, npix_y)
+    npix = max(pu.shape[1], pv.shape[1])
+    out = np.zeros((4, len(np.atleast_1d(u)), npix))
+    out[0, :, :pu.shape[1]] = np.cos(pu)
+    out[1, :, :pu.shape[1]] = np.sin(pu)
+    out[2, :, :pv.shape[1]] = np.cos(pv)
+    out[3, :, :pv.shape[1]] = np.sin(pv)
+    return out
+
+
 def empty_eht_obs(array, nt, tint, tstart=4.0, tstop=15.5, ra=SGRA_RA,
                   dec=SGRA_DEC, rf=SGRA_RF, mjd=57850, bw=1856000000.0,
                   elevmin=15.0, elevmax=85.0, timetype='UTC',
@@ -669,6 +784,22 @@ def gauss_markov_series(rng, times_hr, n_series, sigmat):
                   + np.sqrt(max(1.0 - rho**2, 0.0))
                   * rng.standard_normal(n_series))
     return out
+
+
+@dataclasses.dataclass
+class AppliedJones:
+    """Ground-truth station corruption drawn by observe_same — the
+    ehtim caltable analog (reference observation.py:121,133). Lets
+    experiments close the self-calibration loop: corrupt, then
+    `obs.calibrate()` (apply_inverse_jones with the KNOWN tables)
+    recovers the uncorrupted visibilities exactly (thermal noise
+    excepted, which is irreducible by calibration)."""
+
+    g_R: np.ndarray            # (nscan, ns) complex feed gains
+    g_L: np.ndarray            # (nscan, ns)
+    d_R: np.ndarray            # (ns,) complex leakage
+    d_L: np.ndarray            # (ns,)
+    phi: np.ndarray = None     # (nscan, ns) field-rotation angles or None
 
 
 def station_jones(obs, rng, station_noise=True, dterm_noise=False,
@@ -885,6 +1016,7 @@ def observe_same(movie, times_hr, psize, obs, thermal_noise=True,
     apply_gains = (station_noise or ampcal is False
                    or phasecal is False)
     apply_dterms = not dcal
+    applied = None
     if apply_gains or apply_dterms or not frcal:
         g_R, g_L, d_R, d_L = station_jones(
             obs, rng, station_noise=station_noise,
@@ -895,6 +1027,10 @@ def observe_same(movie, times_hr, psize, obs, thermal_noise=True,
         phi = None if frcal else field_rotation_angles(obs)
         vis = apply_jones_corruption(vis, obs.baselines, g_R, g_L,
                                      d_R, d_L, phi=phi)
+        # keep the drawn tables (the ehtim caltable analog, reference
+        # observation.py:121,133) so the corruption is recoverable
+        applied = AppliedJones(g_R=g_R, g_L=g_L, d_R=d_R, d_L=d_L,
+                               phi=phi)
 
     if thermal_noise:
         noise = (rng.standard_normal(vis.shape)
@@ -903,7 +1039,8 @@ def observe_same(movie, times_hr, psize, obs, thermal_noise=True,
 
     vis[~obs.mask] = np.nan
     return dataclasses.replace(obs, vis=vis,
-                               pol_names=('I', 'Q', 'U', 'V')[:nstokes])
+                               pol_names=('I', 'Q', 'U', 'V')[:nstokes],
+                               applied_jones=applied)
 
 
 def padded_obs(obs, field, fill_value=np.nan):

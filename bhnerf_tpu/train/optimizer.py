@@ -351,17 +351,23 @@ class TrainStep:
     @classmethod
     def eht(cls, t_frames, obs, image_fov, image_size, predictor,
             chisqdata=None, dtype='vis', pol='I', scale=1.0, mesh=None,
-            fused=False):
+            fused=False, operator='dense'):
         """EHT measurement training step (reference optimization.py:219-268).
 
         obs: bhnerf_tpu.observation.Observation (or anything with
         chisqdata(dtype, image_fov, image_size, pol) -> (target, sigma, A)
         stacked per frame).
+
+        operator='factored' builds the separable measurement operator
+        (npix-fold smaller; chisq equal to dense within f32 roundoff) —
+        use it at production image sizes (npix >= 64), where the dense
+        per-frame DFT matrix stops fitting (npix=128 ngEHT: ~320 MB).
         """
         if chisqdata is not None:
             dtype = getattr(chisqdata, 'dtype', dtype)
         target, sigma, A = obs.chisqdata(
-            t_frames, dtype, image_fov, image_size, pol=pol)
+            t_frames, dtype, image_fov, image_size, pol=pol,
+            operator=operator)
         # split complex operators into real/imag (the TPU backend has no
         # complex dtypes; split matmuls are MXU-native)
         target, sigma, A = step_lib.to_real_measurements(
