@@ -187,7 +187,7 @@ def _fwd_kernel(t_ref, coords_ref, omega_ref, tg_ref, smask_ref, *rest,
 
 
 def _bwd_kernel(g_ref, em_ref, f_ref, omega_ref, *rest, nt, cfg, deg,
-                dtype):
+                dtype, want_dt):
     """Parameter + frame-time gradients from stashed (em, F): no
     prologue remat, no final dense (the stored em is the masked sigmoid
     output, and the 0/1 mask folds into it: d_out = g * em * (1 - em)).
@@ -248,7 +248,9 @@ def _bwd_kernel(g_ref, em_ref, f_ref, omega_ref, *rest, nt, cfg, deg,
         if do_skip and i > 0 and i % skip_layer == 0:
             # h_i = concat([relu_out, F], 0): the F branch's cotangent
             # feeds the warp-angle gradient below
-            d_F = d_h[net_width:] if d_F is None else d_F + d_h[net_width:]
+            if want_dt:
+                d_F = (d_h[net_width:] if d_F is None
+                       else d_F + d_h[net_width:])
             d_h = d_h[:net_width]
             relu_out = h_i[:net_width]
         else:
@@ -262,28 +264,33 @@ def _bwd_kernel(g_ref, em_ref, f_ref, omega_ref, *rest, nt, cfg, deg,
                                keepdims=True))
         if i > 0:
             d_h = back_h(wb_refs[2 * i][:], d_pre)
-        else:
+        elif want_dt:
             dF0 = back_h(wb_refs[0][:], d_pre)
             d_F = dF0 if d_F is None else d_F + dF0
 
     # ---- frame-time (t_eff) cotangent: posenc chain + warp derivative
-    # F rows: [w (3) | sin(2^i w) (3 per i) | cos(2^i w) (3 per i)]
-    dF = d_F.astype(jnp.float32)
-    Ff = F.astype(jnp.float32)
-    dw = dF[0:3]
-    for i in range(deg):
-        s_rows = Ff[3 + 3 * i:6 + 3 * i]
-        c_rows = Ff[3 + 3 * deg + 3 * i:6 + 3 * deg + 3 * i]
-        ds = dF[3 + 3 * i:6 + 3 * i]
-        dc = dF[3 + 3 * deg + 3 * i:6 + 3 * deg + 3 * i]
-        dw = dw + (2.0 ** i) * (ds * c_rows - dc * s_rows)
-    # dtheta = dw . dw/dtheta with dw/dtheta = (wy, -wx, 0)
-    dtheta = dw[0:1] * Ff[1:2] - dw[1:2] * Ff[0:1]  # (1, nt*tile)
+    # F rows: [w (3) | sin(2^i w) (3 per i) | cos(2^i w) (3 per i)].
+    # Statically skipped (zeros) when params carry no learnable
+    # injection offset — the frozen hot path pays nothing.
     tile = g_ref.shape[1]
-    om = omega_ref[:].astype(jnp.float32)           # (1, tile)
-    dt_local = jnp.concatenate(
-        [jnp.sum(dtheta[:, t * tile:(t + 1) * tile] * om, axis=1,
-                 keepdims=True) for t in range(nt)], axis=0)  # (nt, 1)
+    if want_dt:
+        dF = d_F.astype(jnp.float32)
+        Ff = F.astype(jnp.float32)
+        dw = dF[0:3]
+        for i in range(deg):
+            s_rows = Ff[3 + 3 * i:6 + 3 * i]
+            c_rows = Ff[3 + 3 * deg + 3 * i:6 + 3 * deg + 3 * i]
+            ds = dF[3 + 3 * i:6 + 3 * i]
+            dc = dF[3 + 3 * deg + 3 * i:6 + 3 * deg + 3 * i]
+            dw = dw + (2.0 ** i) * (ds * c_rows - dc * s_rows)
+        # dtheta = dw . dw/dtheta with dw/dtheta = (wy, -wx, 0)
+        dtheta = dw[0:1] * Ff[1:2] - dw[1:2] * Ff[0:1]  # (1, nt*tile)
+        om = omega_ref[:].astype(jnp.float32)           # (1, tile)
+        dt_local = jnp.concatenate(
+            [jnp.sum(dtheta[:, t * tile:(t + 1) * tile] * om, axis=1,
+                     keepdims=True) for t in range(nt)], axis=0)
+    else:
+        dt_local = jnp.zeros((nt, 1), jnp.float32)
 
     is_first = pl.program_id(0) == 0
     for k, ref in enumerate(list(grad_refs) + [dt_ref]):
@@ -393,9 +400,10 @@ def _render_fwd(t_eff, coords, omega, tg, smask, packed, cfg, scale, deg,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('cfg', 'deg', 'compute_dtype'))
+                   static_argnames=('cfg', 'deg', 'compute_dtype',
+                                    'want_dt'))
 def _render_bwd(g_em, em, f_store, omega, packed, cfg, deg,
-                compute_dtype):
+                compute_dtype, want_dt=True):
     nt, n = g_em.shape
     feat = f_store.shape[0]
     dtype = jnp.bfloat16 if compute_dtype == 'bfloat16' else jnp.float32
@@ -403,7 +411,7 @@ def _render_bwd(g_em, em, f_store, omega, packed, cfg, deg,
     _check_folded_vmem(nt, tile, dtype)
     n_tiles = n // tile
     kernel = functools.partial(_bwd_kernel, nt=nt, cfg=cfg, deg=deg,
-                               dtype=dtype)
+                               dtype=dtype, want_dt=want_dt)
     # grads match the packed layout: dW^T (out, in), db (out, 1);
     # the trailing (nt, 1) output is the t_eff cotangent
     grad_shapes = [jax.ShapeDtypeStruct(p.shape, jnp.float32)
@@ -480,8 +488,11 @@ def _fr_fwd(params, coords, omega, tg, smask, t_eff, cfg, scale, deg,
 def _fr_bwd(cfg, scale, deg, compute_dtype, residuals, g_em):
     params, em, f_store, omega = residuals
     packed = pack_params(params, cfg[0])
+    # the warp-time chain only matters when an injection offset is
+    # trainable; the frozen hot path statically skips it (zeros)
+    want_dt = isinstance(params, dict) and 't_injection' in params
     flat, d_t = _render_bwd(g_em, em, f_store, omega, packed, cfg, deg,
-                            compute_dtype)
+                            compute_dtype, want_dt=want_dt)
     d_params = unpack_grads(list(flat), cfg[0])
     # the cotangent tree must match the input params tree. The only
     # non-MLP leaf with defined semantics is the learn_injection offset:

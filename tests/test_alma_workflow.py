@@ -228,11 +228,16 @@ def test_chi2_df_grid_identifies_inclination(tmp_path):
 
     ckpt_fmt = str(tmp_path / 'inc{}' / 'seed{}')
     for inc in (true_inc, wrong_inc):
+        from bhnerf_tpu.train.step import compact_raytracing_args
         rt_list = alma.get_raytracing_args(np.deg2rad(inc), spin, params)
         predictor = NeRFPredictor(
             scale=params['fov_M'] / 2, rmin=rmin,
             rmax=params['fov_M'] / 2, z_width=params['z_width'],
             net_depth=2, net_width=16)
+        # compacted samples: same lc physics (equality in test_compact)
+        # at a fraction of the per-step CPU cost of this 250-iter loop
+        rt_list = [compact_raytracing_args(r, predictor, tile=256)
+                   for r in rt_list]
         train_step = TrainStep.image(t_frames, target, predictor,
                                      sigma=sigma, dtype='lc')
         optimizer = Optimizer(

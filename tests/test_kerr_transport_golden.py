@@ -113,19 +113,38 @@ def _initial_conditions(geos, k):
     return x0, p0, direction
 
 
-def test_transport_matches_hamiltonian_integration(geos, ham_rhs):
+@pytest.fixture(scope='module')
+def ham_solutions(geos, ham_rhs):
+    """One high-accuracy Hamiltonian integration per ray, shared by the
+    transport and affine-weight goldens (the two tests used to run the
+    same solve_ivp twice — half the file's minute-class wall time). The
+    9th state integrates Sigma for the affine-arc check."""
+    a = geos.spin
+    sols = []
+    for k in range(geos.r.shape[0]):
+        x0, p0, direction = _initial_conditions(geos, k)
+        taus = geos.mino[k]
+
+        def rhs_with_affine(tau, y, direction=direction):
+            core = np.asarray(ham_rhs(y[:8], a, direction))
+            Sigma = y[1] ** 2 + a**2 * np.cos(y[2]) ** 2
+            return np.concatenate([core, [Sigma]])
+
+        sol = solve_ivp(rhs_with_affine, (0.0, taus[-1]),
+                        np.concatenate([x0, p0, [0.0]]), t_eval=taus,
+                        rtol=1e-11, atol=1e-12, method='RK45')
+        assert sol.success
+        sols.append(sol)
+    return sols
+
+
+def test_transport_matches_hamiltonian_integration(geos, ham_solutions):
     """t, phi, r, theta along each ray match the Hamiltonian reference
     to <= 1e-6 in the natural scale of each quantity, at the dataset's
     own Mino times."""
     a = geos.spin
     for k in range(geos.r.shape[0]):
-        x0, p0, direction = _initial_conditions(geos, k)
-        taus = geos.mino[k]
-        sol = solve_ivp(
-            lambda tau, y: np.asarray(ham_rhs(y, a, direction)),
-            (0.0, taus[-1]), np.concatenate([x0, p0]),
-            t_eval=taus, rtol=1e-11, atol=1e-12, method='RK45')
-        assert sol.success
+        sol = ham_solutions[k]
         t_ref, r_ref, th_ref, ph_ref = sol.y[0], sol.y[1], sol.y[2], \
             sol.y[3]
         t_scale = max(np.abs(t_ref).max(), 1.0)
@@ -154,7 +173,7 @@ def test_transport_matches_hamiltonian_integration(geos, ham_rhs):
         # null condition of the reference solution stays satisfied to
         # solve_ivp's own drift over the r: 1000 -> few dynamic range
         # (an IC error from a wrong eta/lam formula would be O(1))
-        H_end = float(hamiltonian(sol.y[:4, -1], sol.y[4:, -1], a))
+        H_end = float(hamiltonian(sol.y[:4, -1], sol.y[4:8, -1], a))
         assert abs(H_end) < 1e-3
 
 
@@ -165,25 +184,14 @@ def test_dtau_is_mino_step(geos):
     np.testing.assert_allclose(geos.dtau[:, 1:], dm, rtol=1e-10)
 
 
-def test_strong_field_affine_weights_match_hamiltonian(geos, ham_rhs):
+def test_strong_field_affine_weights_match_hamiltonian(geos,
+                                                       ham_solutions):
     """Per-sample Sigma*dtau (the radiative-transfer path weight)
     matches the Hamiltonian integration's affine arc between
     consecutive Mino samples to <1% inside the emission region
     (r < 20), where the weight actually multiplies emission."""
-    a = geos.spin
     for k in range(geos.r.shape[0]):
-        x0, p0, direction = _initial_conditions(geos, k)
-        taus = geos.mino[k]
-
-        def rhs_with_affine(tau, y):
-            core = np.asarray(ham_rhs(y[:8], a, direction))
-            Sigma = y[1] ** 2 + a**2 * np.cos(y[2]) ** 2
-            return np.concatenate([core, [Sigma]])
-
-        sol = solve_ivp(rhs_with_affine, (0.0, taus[-1]),
-                        np.concatenate([x0, p0, [0.0]]),
-                        t_eval=taus, rtol=1e-11, atol=1e-12)
-        assert sol.success
+        sol = ham_solutions[k]
         d_affine_ref = np.diff(sol.y[8])
         # trapezoid of the dataset's Sigma over its Mino grid vs the
         # exact arc (pins Sigma along the ray; the renderer's

@@ -85,9 +85,13 @@ def test_recovery_lightcurve_loss_drops(problem):
     lightcurve error (Tutorial-3 analog; thresholds tied to the
     physics, not just optimization — VERDICT r1 weak #5)."""
     from bhnerf_tpu import utils
-    rt = problem['rt']
+    from bhnerf_tpu.train.step import compact_raytracing_args
     predictor = NeRFPredictor(scale=FOV / 2, rmax=FOV / 2, z_width=2.0,
                               net_depth=3, net_width=32, posenc_deg=3)
+    # domain-compacted samples: physically identical recovery (equality
+    # proven in test_compact) at ~6x fewer MLP samples — keeps this
+    # 400-iter closed loop fast on the 1-core CPU box
+    rt = compact_raytracing_args(problem['rt'], predictor, tile=256)
     hparams = {'num_iters': 400, 'lr_init': 5e-3, 'lr_final': 1e-4,
                'seed': 1}
     optimizer = Optimizer(hparams, predictor, rt)
