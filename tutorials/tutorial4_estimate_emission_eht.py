@@ -15,7 +15,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 import numpy as np
 
 
-def main(out_dir='tutorial_outputs', small=False):
+def main(out_dir='tutorial_outputs', small=False, operator='dense'):
     import matplotlib
     matplotlib.use('Agg')
     import matplotlib.pyplot as plt
@@ -59,8 +59,10 @@ def main(out_dir='tutorial_outputs', small=False):
 
     predictor = NeRFPredictor(scale=fov_M / 2, rmax=fov_M / 2, z_width=2.0)
     rt = raytracing_args(geos, Omega, t_injection, t_frames[0])
+    # operator='factored' is the production-npix form (npix-fold smaller
+    # separable DFT, chisq-equal to dense; see observation.dft_factors)
     train_step = TrainStep.eht(t_frames, obs, fov_rad, num, predictor,
-                               dtype='vis')
+                               dtype='vis', operator=operator)
     state = TrainState.create(predictor.init_params(seed=1),
                               make_optimizer(num_iters, lr_init=1e-3,
                                              lr_final=1e-5))
@@ -92,5 +94,9 @@ if __name__ == '__main__':
     p = argparse.ArgumentParser()
     p.add_argument('--out', default='tutorial_outputs')
     p.add_argument('--small', action='store_true')
+    p.add_argument('--operator', default='dense',
+                   choices=['dense', 'factored'],
+                   help='measurement operator: dense DFT matrix or the '
+                        'separable factored form (use at npix >= 64)')
     args = p.parse_args()
-    main(args.out, args.small)
+    main(args.out, args.small, args.operator)
