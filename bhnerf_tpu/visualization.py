@@ -71,9 +71,10 @@ def slider_frame_comparison(movie1, movie2, scale='amp', title1='true',
                             title2='estimate'):
     """Interactive frame-by-frame comparison (reference 82-131).
 
-    Uses matplotlib's Slider widget (the reference used ipywidgets, which
-    is not in the TPU image). Returns (fig, update_fn); in headless runs
-    call update_fn(i) to render frame i.
+    Uses matplotlib's Slider widget (always available headless; the
+    ipywidgets notebook experience lives in `interactive_slider`).
+    Returns (fig, update_fn); in headless runs call update_fn(i) to
+    render frame i.
     """
     import matplotlib.pyplot as plt
     from matplotlib.widgets import Slider
@@ -103,6 +104,67 @@ def slider_frame_comparison(movie1, movie2, scale='amp', title1='true',
     slider.on_changed(update)
     fig._slider = slider  # keep a reference alive
     return fig, update
+
+
+def interactive_slider(movie, ax=None, cmap=None, extent=None,
+                       use_widgets=None):
+    """Interactive frame explorer for a (nt, ny, nx) movie — the
+    reference's xarray ``.visualization.slider`` accessor
+    (visualization.py:377-419) for this package's plain arrays.
+
+    In a notebook (ipywidgets available + IPython display active) this
+    renders an ipywidgets IntSlider wired to the frame index with
+    per-frame color rescaling, exactly like the reference accessor;
+    otherwise it falls back to a matplotlib Slider. Returns the
+    ipywidgets widget (drive it headlessly via
+    ``widget.children[0].value = i``) or the matplotlib Slider.
+    """
+    import matplotlib.pyplot as plt
+    movie = np.asarray(movie).squeeze()
+    if movie.ndim != 3:
+        raise ValueError(f'movie must be 3D (t, ny, nx); got shape '
+                         f'{movie.shape}')
+    if use_widgets is None:
+        try:
+            import ipywidgets  # noqa: F401
+            use_widgets = True
+        except ImportError:
+            use_widgets = False
+
+    if ax is None:
+        fig, ax = plt.subplots()
+    else:
+        fig = ax.figure
+    im = ax.imshow(movie[0], origin='lower', cmap=cmap, extent=extent)
+    fig.colorbar(im, ax=ax)
+
+    def show_frame(frame=0):
+        img = movie[int(frame)]
+        im.set_array(img)
+        im.set_clim(float(img.min()), float(img.max()))
+        fig.canvas.draw_idle()
+
+    if use_widgets:
+        from ipywidgets import interactive
+        widget = interactive(show_frame,
+                             frame=(0, movie.shape[0] - 1))
+        try:
+            import IPython
+            if IPython.get_ipython() is not None:
+                from IPython.display import display
+                display(widget)
+        except ImportError:
+            pass
+        return widget
+
+    from matplotlib.widgets import Slider
+    fig.subplots_adjust(bottom=0.2)
+    s_ax = fig.add_axes([0.25, 0.05, 0.5, 0.04])
+    slider = Slider(s_ax, 'frame', 0, movie.shape[0] - 1, valinit=0,
+                    valstep=1)
+    slider.on_changed(show_frame)
+    fig._slider = slider
+    return slider
 
 
 def animate_movies_synced(movies, axes, t_frames=None, vmin=None, vmax=None,

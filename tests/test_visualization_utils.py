@@ -158,3 +158,35 @@ def test_stokes_movie_container():
     obs0 = obs_lib.empty_eht_obs(array, nt=2, tint=60.0)
     obs = sm.observe_same(obs0, thermal_noise=False)
     assert obs.vis.shape[-1] == 3
+
+
+def test_interactive_slider_widget_drives_frames():
+    """interactive_slider builds an ipywidgets explorer (the reference's
+    .visualization.slider accessor) whose slider actually swaps frames
+    and rescales the color limits; the matplotlib fallback drives the
+    same update path."""
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    from bhnerf_tpu import visualization
+
+    movie = np.stack([np.full((4, 4), i, float) for i in range(5)])
+    movie[3, 0, 0] = 10.0
+
+    widget = visualization.interactive_slider(movie)
+    import ipywidgets
+    assert isinstance(widget, ipywidgets.interactive)
+    slider = widget.children[0]
+    ax = plt.gcf().axes[0]
+    im = ax.images[0]
+    slider.value = 3
+    assert float(np.asarray(im.get_array())[0, 0]) == 10.0
+    assert im.get_clim() == (3.0, 10.0)
+    plt.close('all')
+
+    # matplotlib fallback path
+    sl = visualization.interactive_slider(movie, use_widgets=False)
+    sl.set_val(2)
+    fig = sl.ax.figure
+    assert float(np.asarray(fig.axes[0].images[0].get_array()).max()) == 2.0
+    plt.close('all')
