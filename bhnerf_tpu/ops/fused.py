@@ -98,15 +98,21 @@ def _prologue(t, coords, omega, tg, smask, scale, deg):
     wz = z * vf
     w = jnp.concatenate([wx, wy, wz], axis=0) * (1.0 / scale)
     if deg > 0:
-        xb = jnp.concatenate([w * (2.0 ** i) for i in range(deg)], axis=0)
-        ang = jnp.concatenate([xb, xb + 0.5 * jnp.pi], axis=0)
-        # no safe_sin range reduction: |ang| <= 2^(deg-1)*|coords|/scale +
-        # pi/2 << 100*pi. For ang >= 0 this is bit-identical to the XLA
-        # path's sin(ang % 100pi); for ang < 0 the XLA floor-mod shifts
-        # by 100pi whose f32 rounding costs it ~1.5e-5 of angle — the
-        # kernel is the MORE accurate of the two there (covered by the
-        # fused-vs-XLA test tolerances)
-        F = jnp.concatenate([w, jnp.sin(ang)], axis=0)
+        # F rows: [w | sin(2^i w) for i<deg | cos(2^i w) for i<deg] —
+        # the XLA path's posenc sin([xb, xb+pi/2]) layout. Only the
+        # base sin/cos are transcendental; higher octaves come from the
+        # double-angle recursion (2sc, c^2-s^2): 6 instead of 6*deg
+        # transcendental rows per (sample, frame) — the prologue is VPU
+        # work that competes with the MXU chain. Accuracy: each
+        # doubling adds ~2 ulp; the fused-vs-XLA tests bound it. No
+        # safe_sin range reduction needed: |w| <= |coords|/scale < pi
+        s, c = jnp.sin(w), jnp.cos(w)
+        sins, coss = [s], [c]
+        for _ in range(1, deg):
+            s, c = 2.0 * s * c, c * c - s * s
+            sins.append(s)
+            coss.append(c)
+        F = jnp.concatenate([w] + sins + coss, axis=0)
     else:
         F = w
     return F, vf * smask
