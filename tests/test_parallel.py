@@ -344,10 +344,12 @@ def test_scan_chunked_training_under_mesh():
     np.testing.assert_allclose(l_mesh, l_plain, rtol=2e-3)
 
 
-def test_eht_scan_step_under_mesh():
+@pytest.mark.parametrize('operator', ['dense', 'factored'])
+def test_eht_scan_step_under_mesh(operator):
     """The north-star EHT (visibility-loss) scan step is mesh-agnostic:
-    DFT operators sharded over 'data' frames + sample-parallel compact
-    crt over 'ray' reproduce the unsharded loss chain."""
+    DFT operators (dense and factored-separable) sharded over 'data'
+    frames + sample-parallel compact crt over 'ray' reproduce the
+    unsharded loss chain."""
     import jax
     import jax.numpy as jnp
     from bhnerf_tpu import constants, observation as obs_lib, units
@@ -379,7 +381,7 @@ def test_eht_scan_step_under_mesh():
                                fov_rad / npx, obs0, thermal_noise=False)
 
     ts = TrainStep.eht(t_frames, obs, fov_rad, npx, predictor,
-                       dtype='vis', fused=True)
+                       dtype='vis', fused=True, operator=operator)
     scan_fn = make_scan_step(batchsize=4, chunk=3, **ts.scan_meta)
 
     def run(mesh):
