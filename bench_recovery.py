@@ -41,7 +41,8 @@ def record(result):
         json.dump(blob, f, indent=1)
 
 
-def main(num_iters=1000, small=False, eht=False):
+def main(num_iters=1000, small=False, eht=False, npix=None,
+         operator=None):
     from bench import ensure_tpu_reachable
     ensure_tpu_reachable(
         metric='time_to_recover_eht' if eht else 'time_to_recover')
@@ -66,7 +67,12 @@ def main(num_iters=1000, small=False, eht=False):
 
     spin, inc = 0.2, np.deg2rad(60.0)
     fov_M = 16.0
-    num = 16 if small else 64
+    num = npix if npix else (16 if small else 64)
+    # the dense per-frame DFT operator stops fitting past npix=64
+    # (~320 MB at ngEHT nvis); the factored separable form is the
+    # production default there (chisq-equal, npix-fold smaller)
+    if operator is None:
+        operator = 'factored' if num > 64 else 'dense'
     ngeo = 32 if small else 100
     nt = 16 if small else 64
     compute_dtype = os.environ.get('BENCH_COMPUTE_DTYPE', 'bfloat16')
@@ -115,7 +121,8 @@ def main(num_iters=1000, small=False, eht=False):
                                        fov_rad / num, obs_empty,
                                        thermal_noise=True, seed=0)
         train_step = TrainStep.eht(t_frames, obs, fov_rad, num, predictor,
-                                   dtype='vis', fused=True)
+                                   dtype='vis', fused=True,
+                                   operator=operator)
     else:
         train_step = TrainStep.image(t_frames, movie, predictor,
                                      dtype='full', fused=True)
@@ -174,9 +181,12 @@ def main(num_iters=1000, small=False, eht=False):
         'psnr_3d': round(psnr_3d, 2),
         'lc_err_pct': round(lc_err_pct, 4),
         'num_iters': num_iters,
+        'npix': num,
         'compute_dtype': compute_dtype,
         'chip': jax.devices()[0].device_kind,
     }
+    if eht:
+        result['operator'] = operator
     record(result)
     print(json.dumps(result))
 
@@ -191,6 +201,15 @@ if __name__ == '__main__':
     p.add_argument('--eht', action='store_true',
                    help='recover from an ngEHT visibility observation '
                         '(the BASELINE.md north-star problem)')
+    p.add_argument('--npix', type=int, default=None,
+                   help='image/ray grid size (default 64; 128 = the '
+                        'production ALMA/EHT image size, auto-selects '
+                        'the factored measurement operator)')
+    p.add_argument('--operator', default=None,
+                   choices=['dense', 'factored'],
+                   help='EHT measurement operator (default: dense up '
+                        'to npix=64, factored past it)')
     args = p.parse_args()
     n = args.num_iters if args.num_iters else (5000 if args.eht else 1000)
-    main(n, args.small, eht=args.eht)
+    main(n, args.small, eht=args.eht, npix=args.npix,
+         operator=args.operator)
