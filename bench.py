@@ -175,11 +175,18 @@ def bench_alma_shape(predictor_base, mark, num_variants=10, chunk=100):
     steps_per_sec = n_chunks * chunk / (time.perf_counter() - t0)
     mark(f'alma-shape ensemble({num_variants}) path: '
          f'{steps_per_sec:.2f} steps/s')
+    # same convention as the headline mfu: useful matmul FLOPs (fwd +
+    # 2x bwd) over the chip's bf16 peak. The structural ceiling for
+    # this MLP is ~0.58 (docs/ARCHITECTURE.md MFU section)
+    peak = PEAK_FLOPS.get(jax.devices()[0].device_kind)
+    alma_flops = (3 * mlp_flops_per_sample(predictor) * n_eff * batch
+                  * steps_per_sec)
     return {
         'alma_steps_per_sec': round(steps_per_sec, 2),
         'alma_ray_samples_per_sec': round(
             steps_per_sec * batch * num * num * ngeo),
         'alma_mlp_samples_per_sec': round(steps_per_sec * batch * n_eff),
+        'alma_mfu': round(alma_flops / peak, 4) if peak else None,
         'alma_num_variants': num_variants,
         'alma_shape': [num, num, ngeo, 3],
     }
