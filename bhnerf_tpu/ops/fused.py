@@ -18,10 +18,13 @@ ENTIRE per-sample pipeline per tile inside VMEM:
   elementwise/transcendental op (warp trig, posenc sin, sigmoid) fills
   all 128 VPU lanes. The samples-in-sublanes layout wastes 127/128 lanes
   on the prologue trig and measures ~2x slower end-to-end;
-* backward: a second kernel rematerializes warp+posenc+activations per
-  tile and accumulates parameter gradients in-place across the
-  (sequential) TPU grid; no gradients w.r.t. the ray constants are
-  produced (they are frozen; learnable-t_injection uses the XLA path).
+* backward: a second kernel reads the stashed features/emission,
+  rematerializes activations per tile and accumulates parameter
+  gradients in-place across the (sequential) TPU grid. When params
+  carry a learnable injection offset it also emits the frame-time
+  (t_eff) cotangent — the warp-angle chain needs no extra trig because
+  the stash holds both sin and cos posenc rows and dw/dtheta =
+  (wy, -wx, 0). The frozen ray constants get zero cotangents.
 
 Matmuls run in `compute_dtype` (a real NeRFPredictor field; 'bfloat16'
 engages the MXU's native precision) with float32 accumulation; the warp
