@@ -256,6 +256,49 @@ def test_weak_scaling(setup):
                                                  bytes_acc[8])
 
 
+def test_weak_scaling_gradient(setup):
+    """The GRADIENT of the sample-parallel step scales too: per-device
+    FLOPs fall with ray shards, and the collective set stays small
+    all-reduces only (the image psum + the params psum inserted by the
+    shard_map transpose) — never an all-gather or a sample-sized
+    collective. Reference semantics: pmean of grads, network.py:620."""
+    import re
+
+    predictor, params, rt, t_frames_M = setup
+
+    def loss(params, crt):
+        img = image_plane_prediction(params, predictor, t_frames_M, crt)
+        return jnp.sum(img ** 2)
+
+    gfn = jax.jit(jax.grad(loss))
+    n_params = sum(int(np.prod(np.shape(l)))
+                   for l in jax.tree_util.tree_leaves(params))
+    flops = {}
+    for ray in (2, 8):
+        mesh = create_mesh((8 // ray, ray))
+        crt = compact_raytracing_args(rt, predictor, tile=256, mesh=mesh)
+        n_local = crt.coords.shape[-1] // ray
+        compiled = gfn.lower(params, crt).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops[ray] = float(ca['flops'])
+
+        hlo = compiled.as_text()
+        for banned in ('all-gather', 'reduce-scatter', 'all-to-all'):
+            assert banned not in hlo, f'{banned} at ray={ray}'
+        ar_shapes = re.findall(r'= (\w+)\[([\d,]*)\][^\n]*? all-reduce\(',
+                               hlo)
+        assert 1 <= len(ar_shapes) <= 4, ar_shapes
+        for _, dims in ar_shapes:
+            n_elems = int(np.prod([int(d) for d in dims.split(',')
+                                   if d] or [1]))
+            # image- or params-sized, never a per-sample block
+            assert n_elems <= max(2 * n_params, 4096), \
+                f'sample-sized collective ({n_elems} elems, local ' \
+                f'sample block is {n_local}) at ray={ray}'
+    assert flops[8] <= 0.45 * flops[2], flops
+
+
 def test_trainstep_repeat_calls_with_meshed_crt(setup):
     """Regression: TrainStep.__call__ with a sample-parallel (meshed)
     CompactRayArgs must survive repeated calls. ensure_placed used to
