@@ -45,7 +45,7 @@ def preprocess_data(data_path, window_size, I_hs_mean, P_sha, chi_sha,
 
 def image_plane_model(inc, spin, params, rot_angle=0.0,
                       randomize_subpixel_rays=False, rng=None,
-                      backend='cpu'):
+                      backend='cpu', mesh=None):
     """Geodesics + Keplerian velocity + normalized fluid-frame B field +
     polarized transport factors (reference alma.py:27-63).
 
@@ -61,7 +61,7 @@ def image_plane_model(inc, spin, params, rot_angle=0.0,
         alpha_range=[-fov_M / 2, fov_M / 2],
         beta_range=[-fov_M / 2, fov_M / 2],
         randomize_subpixel_rays=randomize_subpixel_rays, rng=rng,
-        backend=backend)
+        backend=backend, mesh=mesh)
     return _model_physics(geos, params, rot_angle)
 
 
@@ -96,7 +96,7 @@ def _model_physics(geos, params, rot_angle):
 
 
 def _trace_subpixel_ensemble(inc, spin, params, num_variants, rng,
-                             backend):
+                             backend, mesh=None):
     """Trace ALL sub-pixel-ray variants in ONE trace_geodesics call
     (stacked (V, na, nb) screen grids -> one device dispatch instead of
     V), then split back into per-variant Geodesics. Randomization
@@ -121,7 +121,7 @@ def _trace_subpixel_ensemble(inc, spin, params, num_variants, rng,
         betas.append(b)
 
     geos_all = trace_geodesics(np.stack(alphas), np.stack(betas), spin,
-                               inc, backend=backend)
+                               inc, backend=backend, mesh=mesh)
     return [dataclasses.replace(
         geos_all, **{f: getattr(geos_all, f)[v]
                      for f in Geodesics._FIELDS})
@@ -130,23 +130,26 @@ def _trace_subpixel_ensemble(inc, spin, params, num_variants, rng,
 
 def get_raytracing_args(inc, spin, params, stokes=('I', 'Q', 'U'),
                         rot_angle=0.0, num_subpixel_rays=1, rng=None,
-                        backend='cpu'):
+                        backend='cpu', mesh=None):
     """Sub-pixel ray ensemble of RayTracingArgs (reference alma.py:65-81).
 
     With backend='device' the whole ensemble is traced in a single
     on-chip dispatch (the per-variant loop otherwise pays one trace per
-    variant)."""
+    variant); mesh= additionally shards the pixel axis across the
+    device mesh (rays are independent — zero collectives)."""
     args_list = []
     J_inds = [['I', 'Q', 'U'].index(s) for s in stokes]
     randomize = num_subpixel_rays > 1
     geos_list = (_trace_subpixel_ensemble(inc, spin, params,
-                                          num_subpixel_rays, rng, backend)
+                                          num_subpixel_rays, rng, backend,
+                                          mesh=mesh)
                  if backend == 'device' and randomize else None)
     for i in range(num_subpixel_rays):
         if geos_list is None:
             geos, Omega, J = image_plane_model(inc, spin, params,
                                                rot_angle, randomize,
-                                               rng=rng, backend=backend)
+                                               rng=rng, backend=backend,
+                                               mesh=mesh)
         else:
             geos, Omega, J = _model_physics(geos_list[i], params,
                                             rot_angle)

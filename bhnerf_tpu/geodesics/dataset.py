@@ -190,7 +190,7 @@ def image_plane_geos(spin, inclination, alpha_range, beta_range, ngeo=100,
                      num_alpha=64, num_beta=64, distance=1000.0, E=1.0, M=1.0,
                      randomize_subpixel_rays=False, rng=None, tau_max=4.0,
                      n_fine=8192, substeps=8, dtype=None,
-                     backend='cpu', verbose=False) -> Geodesics:
+                     backend='cpu', mesh=None, verbose=False) -> Geodesics:
     """Trace Kerr geodesics for a full image plane.
 
     API mirrors the reference driver (bhnerf/kgeo.py:6-63) including
@@ -212,16 +212,23 @@ def image_plane_geos(spin, inclination, alpha_range, beta_range, ngeo=100,
     return trace_geodesics(alpha, beta, spin, inclination, ngeo=ngeo,
                            distance=distance, E=E, M=M, tau_max=tau_max,
                            n_fine=n_fine, substeps=substeps, dtype=dtype,
-                           backend=backend)
+                           backend=backend, mesh=mesh)
 
 
 def trace_geodesics(alpha, beta, spin, inclination, ngeo=100, distance=1000.0,
                     E=1.0, M=1.0, tau_max=4.0, n_fine=8192, substeps=8,
-                    dtype=None, backend='cpu') -> Geodesics:
+                    dtype=None, backend='cpu', mesh=None) -> Geodesics:
     """Trace geodesics for arbitrary (alpha, beta) screen points.
 
     alpha/beta may be any (matching) shape; output arrays get a trailing
     ngeo axis.
+
+    mesh (requires backend='device'): shard the flat pixel axis over
+    EVERY axis of a jax.sharding.Mesh — rays are independent, so the
+    integrator partitions with zero collectives and table generation
+    scales with the chip count (the bulk-tracing story for multi-chip
+    chi^2 grid scans; single-chip measured numbers in the trace_geodesics
+    backend='device' note below).
 
     backend='cpu' (default) pins the integration to the host CPU in
     exact float64 — the reference's host/device split. backend='device'
@@ -272,14 +279,25 @@ def trace_geodesics(alpha, beta, spin, inclination, ngeo=100, distance=1000.0,
     alpha_flat = np.ravel(np.asarray(alpha, dtype=dtype))
     beta_flat = np.ravel(np.asarray(beta, dtype=dtype))
 
+    if mesh is not None and backend != 'device':
+        raise ValueError("mesh-sharded tracing requires backend='device' "
+                         "(the host f64 path is single-process numpy)")
+
     # pad the ray count to a power-of-two bucket so jitted integrator
     # executables are reused across image sizes (compile amortization)
     npix = alpha_flat.size
     bucket = max(256, 1 << (npix - 1).bit_length())
+    if mesh is not None and bucket % mesh.size:
+        bucket += mesh.size - bucket % mesh.size   # equal shards
     alpha_pad = np.concatenate(
         [alpha_flat, np.full(bucket - npix, alpha_flat[-1], dtype=dtype)])
     beta_pad = np.concatenate(
         [beta_flat, np.full(bucket - npix, beta_flat[-1], dtype=dtype)])
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        pixel_sharding = NamedSharding(mesh, P(mesh.axis_names))
+        alpha_pad = jax.device_put(alpha_pad, pixel_sharding)
+        beta_pad = jax.device_put(beta_pad, pixel_sharding)
 
     use_x64 = dtype == np.float64
     ctx = jax.enable_x64(True) if use_x64 else contextlib.nullcontext()

@@ -449,3 +449,24 @@ def test_eht_scan_step_under_mesh(operator):
     l_mesh = run(create_mesh((4, 2)))
     assert l_plain.shape == (3,)
     np.testing.assert_allclose(l_mesh, l_plain, rtol=2e-3)
+
+
+def test_mesh_sharded_device_trace_matches():
+    """Geodesic tracing sharded over the mesh (pixel axis over all
+    axes) reproduces the unsharded f32 device trace — rays are
+    independent, so bulk chi^2-scan table generation scales with chips."""
+    from bhnerf_tpu.geodesics import image_plane_geos
+
+    kw = dict(spin=0.5, inclination=np.deg2rad(55), alpha_range=(-8, 8),
+              beta_range=(-8, 8), ngeo=16, num_alpha=12, num_beta=12,
+              n_fine=1024, backend='device')
+    ref = image_plane_geos(**kw)
+    out = image_plane_geos(mesh=create_mesh((4, 2)), **kw)
+    for name in ('r', 'theta', 'phi', 't', 'mino', 'dtau'):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, name)), np.asarray(getattr(ref, name)),
+            rtol=2e-6, atol=2e-6, err_msg=name)
+
+    with pytest.raises(ValueError, match='device'):
+        image_plane_geos(mesh=create_mesh((4, 2)),
+                         **{**kw, 'backend': 'cpu'})
