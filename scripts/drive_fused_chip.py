@@ -1,0 +1,131 @@
+"""Chip validation for the round-4 fused-kernel changes.
+
+Interpret-mode CPU tests cannot catch Mosaic lowering errors, so after
+touching ops/fused.py this drives, ON THE REAL TPU:
+
+1. frozen-injection fused training grads (want_dt=False — the hot path
+   must lower and keep matching the XLA reference);
+2. learnable-injection fused training (want_dt=True — new omega input,
+   d_F chain, (nt, 1) t_eff cotangent output) vs the XLA warp gradient;
+3. the double-angle posenc prologue accuracy vs the XLA path;
+4. per-step timing of frozen vs learnable injection (the learnable path
+   should be within ~2x of frozen — VERDICT r3 item #7 acceptance).
+
+Run: timeout 1800 python scripts/drive_fused_chip.py
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+os.environ['JAX_PLATFORMS'] = ''      # auto-pick the real chip
+
+import numpy as np
+
+
+def main():
+    if os.environ.get('DRIVE_CPU'):
+        # correctness-only rehearsal on the host (interpret-mode kernel)
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+    else:
+        from bench import ensure_tpu_reachable
+        ensure_tpu_reachable(metric='fused_chip_drive')
+        import jax
+    import jax.numpy as jnp
+
+    from bhnerf_tpu.utils import compilation_cache_dir
+    jax.config.update('jax_compilation_cache_dir', compilation_cache_dir())
+
+    from bhnerf_tpu import units
+    from bhnerf_tpu.geodesics import image_plane_geos
+    from bhnerf_tpu.models import NeRFPredictor
+    from bhnerf_tpu.train import raytracing_args
+    from bhnerf_tpu.train.step import (compact_raytracing_args,
+                                       image_plane_prediction)
+
+    dev = jax.devices()[0]
+    print(f'# device: {dev.device_kind} ({dev.platform})', flush=True)
+
+    # DRIVE_GRID/DRIVE_ITERS: shrink for a CPU (interpret-mode) check
+    grid = int(os.environ.get('DRIVE_GRID', '64'))
+    n_iters = int(os.environ.get('DRIVE_ITERS', '200'))
+    fov = 16.0
+    geos = image_plane_geos(spin=0.2, inclination=np.deg2rad(60),
+                            alpha_range=(-fov / 2, fov / 2),
+                            beta_range=(-fov / 2, fov / 2),
+                            ngeo=64 if grid >= 64 else 24,
+                            num_alpha=grid, num_beta=grid,
+                            n_fine=8192 if grid >= 64 else 1024)
+    rt = raytracing_args(geos, geos.keplerian_omega(),
+                         -float(geos.r_o + 4), units.Quantity(0.0, 'hr'))
+    t_frames_M = jnp.asarray(np.linspace(0.0, 90.0, 6), jnp.float32)
+
+    import dataclasses as dc
+    base = NeRFPredictor(scale=fov / 2, rmin=2.0, rmax=fov / 2,
+                         z_width=2.0)
+    results = {}
+    for name, pred in (('frozen', base),
+                       ('learnable', dc.replace(base,
+                                                learn_injection=True))):
+        params = pred.init_params(seed=1)
+        out_key = f'dense_{pred.net_depth}'
+        params[out_key]['bias'] = params[out_key]['bias'] + 9.0
+        if name == 'learnable':
+            params['t_injection'] = jnp.float32(3.0)
+        crt = compact_raytracing_args(rt, pred)
+
+        def loss(p, use_fused, _pred=pred, _crt=crt):
+            img = image_plane_prediction(p, _pred, t_frames_M, _crt,
+                                         fused=use_fused)
+            return jnp.sum(img ** 2)
+
+        gfn = jax.jit(jax.value_and_grad(loss), static_argnums=(1,))
+        l_x, g_x = gfn(params, False)
+        l_f, g_f = gfn(params, True)
+        jax.block_until_ready(l_f)
+        rel = abs(float(l_f) - float(l_x)) / abs(float(l_x))
+        print(f'# {name}: loss rel diff fused-vs-XLA {rel:.2e}',
+              flush=True)
+        assert rel < 1e-3, (name, float(l_x), float(l_f))
+        for k in g_x:
+            a = np.asarray(jax.tree_util.tree_leaves(g_x[k])[0]).ravel()
+            b = np.asarray(jax.tree_util.tree_leaves(g_f[k])[0]).ravel()
+            denom = np.linalg.norm(a) * np.linalg.norm(b) + 1e-30
+            cos = float(a @ b / denom)
+            assert cos > 0.99, (name, k, cos)
+        if name == 'learnable':
+            gt_x = float(np.asarray(g_x['t_injection']))
+            gt_f = float(np.asarray(g_f['t_injection']))
+            print(f'# t_injection grad: XLA {gt_x:.6g} fused {gt_f:.6g}',
+                  flush=True)
+            assert abs(gt_x) > 1e-6
+            assert abs(gt_f - gt_x) < 5e-3 * abs(gt_x), (gt_x, gt_f)
+
+        # timing: fused grad evals
+        l, g = gfn(params, True)
+        jax.block_until_ready(l)
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            l, g = gfn(params, True)
+        jax.block_until_ready(l)
+        results[name] = n_iters / (time.perf_counter() - t0)
+        print(f'# {name}: {results[name]:.1f} fused grad evals/s',
+              flush=True)
+
+    ratio = results['frozen'] / results['learnable']
+    print(f'# learnable/frozen slowdown: {ratio:.2f}x '
+          f'(acceptance: < 2x)', flush=True)
+    import json
+    print(json.dumps({'metric': 'fused_chip_drive',
+                      'frozen_grad_evals_per_sec':
+                          round(results['frozen'], 1),
+                      'learnable_grad_evals_per_sec':
+                          round(results['learnable'], 1),
+                      'slowdown_x': round(ratio, 3),
+                      'ok': bool(ratio < 2.0)}))
+
+
+if __name__ == '__main__':
+    main()
