@@ -204,11 +204,12 @@ def chi2_lightcurves(raytracing_args, checkpoint_dir, t, data, sigma=1.0,
 def chi2_df(inclinations, spins, seeds, params, checkpoint_fmt, t, data,
             stokes=('I', 'Q', 'U'), sigma=1.0, rot_angle=0.0,
             num_subpixel_rays=1, checkpoint_name='checkpoint_50000',
-            backend='cpu'):
+            backend='cpu', mesh=None):
     """chi^2(inclination-or-spin x seed) DataFrame over a checkpoint grid
     (reference alma.py:88-117). backend='device' traces each grid
     point's geodesic tables on the accelerator (float32) instead of the
-    host — the dominant cost of a fresh scan."""
+    host — the dominant cost of a fresh scan; mesh= shards each trace's
+    pixel axis across the device mesh (trace_geodesics)."""
     import pandas as pd
 
     inclinations = np.atleast_1d(inclinations)
@@ -235,7 +236,7 @@ def chi2_df(inclinations, spins, seeds, params, checkpoint_fmt, t, data,
                 if (inc_prev != inc) or (spin_prev != spin):
                     rt_args = get_raytracing_args(
                         np.deg2rad(inc), spin, params, stokes, rot_angle,
-                        num_subpixel_rays, backend=backend)
+                        num_subpixel_rays, backend=backend, mesh=mesh)
                     inc_prev, spin_prev = inc, spin
                 data_fit[i, j] = chi2_lightcurves(
                     rt_args, checkpoint_dir, t, data, sigma)
