@@ -238,3 +238,17 @@ def test_fused_learn_injection_compact_path(setup):
     gt_f = float(np.asarray(g_f['t_injection']))
     assert abs(gt_x) > 1e-6, 'degenerate test: zero warp gradient'
     np.testing.assert_allclose(gt_f, gt_x, rtol=2e-3)
+
+
+def test_fused_forward_autobatches_many_frames(setup):
+    """Frame counts past the folded-VMEM budget (e.g. full-movie
+    renders) are split over several kernel dispatches transparently
+    (ADVICE r3 #1: nt=40 f32 used to hard-error at the min tile)."""
+    predictor, params, rt, _ = setup
+    nt = fused.max_folded_frames('float32') + 8
+    t_frames_M = jnp.asarray(np.linspace(0.0, 90.0, nt), jnp.float32)
+    ref = np.asarray(predict_emission(params, predictor, t_frames_M, rt))
+    out = np.asarray(fused.predict_emission_fused(params, predictor,
+                                                  t_frames_M, rt))
+    assert out.shape == ref.shape == (nt, 8, 8, 16)
+    np.testing.assert_allclose(out, ref, atol=2e-6, rtol=1e-4)
