@@ -1,0 +1,39 @@
+#!/bin/bash
+# Run the full TPU chip-validation queue (memory: tpu-outage-validation-
+# queue) serially, logging each item to chip_queue_logs/. Items are
+# independent: a failure (or a tunnel drop — every script fails fast via
+# bench.ensure_tpu_reachable) logs rc and the queue moves on, so one
+# short tunnel window is never wasted.
+#
+# Usage: bash scripts/run_chip_queue.sh  (idempotent; reruns everything)
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p chip_queue_logs
+SUMMARY=chip_queue_logs/SUMMARY.txt
+echo "=== chip queue started $(date -u +%FT%TZ) ===" >> "$SUMMARY"
+
+run() {
+  local name=$1 tmo=$2; shift 2
+  local log="chip_queue_logs/${name}.log"
+  echo "[$(date -u +%H:%M:%S)] START $name: $*" | tee -a "$SUMMARY"
+  timeout "$tmo" "$@" > "$log" 2>&1
+  local rc=$?
+  echo "[$(date -u +%H:%M:%S)] DONE  $name rc=$rc ($(tail -c 200 "$log" | tr '\n' ' '))" | tee -a "$SUMMARY"
+  return $rc
+}
+
+# 1. headline bench artifact (fail-fast on outage: value null, rc=2)
+run bench            2400 python bench.py
+# 2. round-4 Pallas changes on real Mosaic (interpret mode can't catch
+#    lowering errors): frozen + learnable grad equality, slowdown < 2x
+run fused_chip       1800 python scripts/drive_fused_chip.py
+# 3. on-device f32 geodesic trace accuracy + speedup (never run on chip)
+run device_geos      1200 python scripts/drive_device_geos.py
+# 4. recovery north stars (first run on a fresh host recompiles 15-25m)
+run recovery         2400 python bench_recovery.py
+run recovery_eht     2400 python bench_recovery.py --eht
+run recovery_eht128  3600 python bench_recovery.py --eht --npix 128
+# 5. MFU breakdown for the polarized flagship (VERDICT r4 item #3)
+run perf_alma        1800 python scripts/perf_trace.py --alma
+
+echo "=== chip queue finished $(date -u +%FT%TZ) ===" >> "$SUMMARY"
