@@ -283,6 +283,23 @@ def main():
         print(f'# [{time.strftime("%H:%M:%S")}] {msg}', file=sys.stderr,
               flush=True)
 
+    # Incremental partial-results file: the axon tunnel can drop MID-RUN
+    # (device calls then hang until an outer `timeout` kills the
+    # process), which would otherwise lose every section already
+    # measured. Each section checkpoints its keys here the moment it
+    # finishes; a killed run still leaves its numbers on disk.
+    partial = {'partial': True, 'started': time.strftime('%FT%TZ')}
+
+    def checkpoint_keys(**keys):
+        partial.update(keys)
+        try:
+            with open(os.path.join(os.path.dirname(
+                    os.path.abspath(__file__)), 'BENCH_partial.json'),
+                    'w') as f:
+                json.dump(partial, f, indent=1)
+        except OSError:
+            pass
+
     from bhnerf_tpu import constants, emission, units
     from bhnerf_tpu.geodesics import image_plane_geos
     from bhnerf_tpu.models import NeRFPredictor
@@ -362,27 +379,36 @@ def main():
         steps_per_sec, loss = time_steps(grad_step, state, batch_args, crt,
                                          n_steps=50)
 
+    checkpoint_keys(per_dispatch_steps_per_sec=round(steps_per_sec, 2),
+                    compute_dtype=compute_dtype)
+
     # scan-chunked path (Optimizer.run(scan_chunk=N)): 100 steps per
     # dispatch, eliminating the residual per-step dispatch latency
     mark(f'fused path: {steps_per_sec:.2f} steps/s; compiling scan step')
     from bhnerf_tpu.train.step import make_scan_step
-    scan_chunk = int(os.environ.get('BENCH_SCAN_CHUNK', 500))
-    scan_fn = make_scan_step(predictor=predictor, kind='image',
-                             dtype='full', fused=use_fused,
-                             batchsize=batch, chunk=scan_chunk)
-    sstate = TrainState.create(predictor.init_params(seed=0),
-                               make_optimizer(50000))
-    sstate, losses = scan_fn(sstate, target, sigma, offset, t_all,
-                             jax.random.PRNGKey(0), crt, 1.0)
-    jax.block_until_ready(losses)
-    n_chunks = max(1000 // scan_chunk, 1)
-    t0 = time.perf_counter()
-    for i in range(n_chunks):
+    try:
+        scan_chunk = int(os.environ.get('BENCH_SCAN_CHUNK', 500))
+        scan_fn = make_scan_step(predictor=predictor, kind='image',
+                                 dtype='full', fused=use_fused,
+                                 batchsize=batch, chunk=scan_chunk)
+        sstate = TrainState.create(predictor.init_params(seed=0),
+                                   make_optimizer(50000))
         sstate, losses = scan_fn(sstate, target, sigma, offset, t_all,
-                                 jax.random.PRNGKey(i), crt, 1.0)
-    jax.block_until_ready(losses)
-    scan_steps_per_sec = (n_chunks * scan_chunk
-                          / (time.perf_counter() - t0))
+                                 jax.random.PRNGKey(0), crt, 1.0)
+        jax.block_until_ready(losses)
+        n_chunks = max(1000 // scan_chunk, 1)
+        t0 = time.perf_counter()
+        for i in range(n_chunks):
+            sstate, losses = scan_fn(sstate, target, sigma, offset, t_all,
+                                     jax.random.PRNGKey(i), crt, 1.0)
+        jax.block_until_ready(losses)
+        scan_steps_per_sec = (n_chunks * scan_chunk
+                              / (time.perf_counter() - t0))
+    except Exception as e:  # pragma: no cover - hardware dependent
+        mark(f'scan-chunked bench unavailable ({type(e).__name__}: {e}); '
+             'headline falls back to the per-dispatch number')
+        scan_steps_per_sec = 0.0
+    checkpoint_keys(scan_steps_per_sec=round(scan_steps_per_sec, 2))
 
     # polarized flagship shape (ALMA 128x128, 3-Stokes, lc loss) with a
     # 10-variant sub-pixel ensemble riding the scan path
@@ -393,6 +419,7 @@ def main():
     except Exception as e:  # pragma: no cover - hardware dependent
         mark(f'alma-shape bench unavailable ({type(e).__name__}: {e})')
         alma_keys = {}
+    checkpoint_keys(**alma_keys)
 
     # north-star EHT (visibility-loss) step on the same geometry
     try:
@@ -402,6 +429,7 @@ def main():
     except Exception as e:  # pragma: no cover - hardware dependent
         mark(f'eht bench unavailable ({type(e).__name__}: {e})')
         eht_keys = {}
+    checkpoint_keys(**eht_keys)
 
     # on-chip f32 geodesic tracing (chi^2-scan table generation)
     try:
@@ -409,18 +437,29 @@ def main():
     except Exception as e:  # pragma: no cover - hardware dependent
         mark(f'device-geos bench unavailable ({type(e).__name__}: {e})')
         geos_keys = {}
+    checkpoint_keys(**geos_keys)
 
     # measured baseline: dense pure-XLA path, reference semantics (every
     # ray sample through the MLP, stock XLA fusion, f32)
     mark('compiling dense XLA baseline')
-    base_pred = dataclasses.replace(predictor, compute_dtype='float32')
-    base_state = TrainState.create(base_pred.init_params(seed=0),
-                                   make_optimizer(50000))
-    base_step, _ = make_step_fns(base_pred, kind='image', dtype='full',
-                                 donate_state=True, fused=False,
-                                 gather=True)
-    base_steps_per_sec, _ = time_steps(base_step, base_state, batch_args,
-                                       rt, n_steps=10)
+    baseline_source = 'measured'
+    try:
+        base_pred = dataclasses.replace(predictor, compute_dtype='float32')
+        base_state = TrainState.create(base_pred.init_params(seed=0),
+                                       make_optimizer(50000))
+        base_step, _ = make_step_fns(base_pred, kind='image', dtype='full',
+                                     donate_state=True, fused=False,
+                                     gather=True)
+        base_steps_per_sec, _ = time_steps(base_step, base_state,
+                                           batch_args, rt, n_steps=10)
+    except Exception as e:  # pragma: no cover - hardware dependent
+        # the fused numbers above are already in hand — don't lose them
+        # to a baseline failure; fall back to the last driver-recorded
+        # measurement of the same workload (BENCH_r02.json, v5e)
+        mark(f'dense baseline unavailable ({type(e).__name__}: {e}); '
+             'using BENCH_r02-recorded 18.99 steps/s')
+        base_steps_per_sec = 18.99
+        baseline_source = 'BENCH_r02 (v5e)'
 
     best = max(steps_per_sec, scan_steps_per_sec)
     flops_fwd = mlp_flops_per_sample(predictor)
@@ -431,6 +470,13 @@ def main():
     mfu = model_tflops * 1e12 / peak if peak else None
 
     ray_samples_per_sec = best * batch * num_alpha * num_beta * ngeo
+    # the one-line JSON below is the complete record; remove the
+    # crash-recovery checkpoint so a stale partial can't shadow it
+    try:
+        os.remove(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               'BENCH_partial.json'))
+    except OSError:
+        pass
     print(json.dumps({
         'metric': 'train_ray_samples_per_sec',
         'value': round(ray_samples_per_sec),
@@ -440,6 +486,7 @@ def main():
         'per_dispatch_steps_per_sec': round(steps_per_sec, 2),
         'scan_steps_per_sec': round(scan_steps_per_sec, 2),
         'baseline_dense_xla_steps_per_sec': round(base_steps_per_sec, 2),
+        'baseline_source': baseline_source,
         'mlp_samples_per_sec': round(best * batch * n_eff),
         'model_tflops': round(model_tflops, 2),
         'mfu': round(mfu, 4) if mfu is not None else None,
