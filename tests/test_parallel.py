@@ -299,6 +299,69 @@ def test_weak_scaling_gradient(setup):
     assert flops[8] <= 0.45 * flops[2], flops
 
 
+def test_weak_scaling_eht_factored(setup):
+    """The production-npix EHT workload scales too: the gradient of the
+    visibility loss with the FACTORED measurement operator
+    (observation.dft_factors — the npix-fold-smaller separable DFT)
+    under a sample-parallel mesh keeps per-device FLOPs falling with ray
+    shards, and every collective stays image/params/vis-sized — the
+    sample axis never crosses the ICI. Reference workload:
+    optimization.py:219-268 + network.py:537-559 (pmean'd EHT grad)."""
+    import re
+
+    from bhnerf_tpu.observation import dft_factors
+    from bhnerf_tpu.train.step import loss_fn_eht, to_real_measurements
+
+    predictor, params, rt, t_frames_M = setup
+    nt, npx, nvis = int(t_frames_M.shape[0]), 16, 24
+    rng = np.random.default_rng(3)
+    fov_rad = 8e-10
+    # uv spread so the DFT phases span O(1) turns across the image
+    uv = rng.uniform(-2.0, 2.0, size=(2, nt, nvis)) / fov_rad
+    A = np.stack([dft_factors(uv[0, f], uv[1, f], fov_rad, npx)
+                  for f in range(nt)])              # (nt, 4, nvis, npx)
+    target = (rng.normal(size=(nt, nvis))
+              + 1j * rng.normal(size=(nt, nvis)))
+    sigma = np.ones((nt, nvis))
+    target_r, sigma_r, A_r = to_real_measurements('vis', target, sigma, A)
+
+    def loss(params, crt):
+        return loss_fn_eht(params, predictor, target_r, sigma_r, A_r,
+                           t_frames_M, crt, 1.0, 'vis')[0]
+
+    gfn = jax.jit(jax.grad(loss))
+    n_params = sum(int(np.prod(np.shape(l)))
+                   for l in jax.tree_util.tree_leaves(params))
+    flops, grads = {}, {}
+    for ray in (2, 8):
+        mesh = create_mesh((8 // ray, ray))
+        crt = compact_raytracing_args(rt, predictor, tile=256, mesh=mesh)
+        n_local = crt.coords.shape[-1] // ray
+        compiled = gfn.lower(params, crt).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops[ray] = float(ca['flops'])
+
+        hlo = compiled.as_text()
+        for banned in ('all-gather', 'reduce-scatter', 'all-to-all'):
+            assert banned not in hlo, f'{banned} at ray={ray}'
+        ar_shapes = re.findall(r'= (\w+)\[([\d,]*)\][^\n]*? all-reduce\(',
+                               hlo)
+        assert 1 <= len(ar_shapes) <= 4, ar_shapes
+        for _, dims in ar_shapes:
+            n_elems = int(np.prod([int(d) for d in dims.split(',')
+                                   if d] or [1]))
+            assert n_elems <= max(2 * n_params, 4096), \
+                f'sample-sized collective ({n_elems} elems, local ' \
+                f'sample block is {n_local}) at ray={ray}'
+        grads[ray] = np.concatenate(
+            [np.ravel(l) for l in jax.tree_util.tree_leaves(
+                gfn(params, crt))])
+    assert flops[8] <= 0.45 * flops[2], flops
+    # and the sharded gradient is the same gradient
+    np.testing.assert_allclose(grads[8], grads[2], rtol=2e-4, atol=1e-7)
+
+
 def test_trainstep_repeat_calls_with_meshed_crt(setup):
     """Regression: TrainStep.__call__ with a sample-parallel (meshed)
     CompactRayArgs must survive repeated calls. ensure_placed used to
