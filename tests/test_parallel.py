@@ -362,6 +362,42 @@ def test_weak_scaling_eht_factored(setup):
     np.testing.assert_allclose(grads[8], grads[2], rtol=2e-4, atol=1e-7)
 
 
+@pytest.mark.parametrize('fused', [False, True])
+def test_learnable_injection_grad_under_mesh(setup, fused):
+    """The learnable injection offset's gradient survives the
+    sample-parallel shard_map: each shard chains its local warp-time
+    cotangent (fused: the kernel's t_eff output; XLA: autodiff of the
+    warp) and the replicated-params transpose psums them — the meshed
+    gradient must equal the unsharded one and be nonzero."""
+    import dataclasses as dc
+
+    predictor, _, rt, t_frames_M = setup
+    pred = dc.replace(predictor, learn_injection=True)
+    params = pred.init_params(seed=0)
+    params['t_injection'] = jnp.float32(2.0)
+
+    def loss(p, crt):
+        img = image_plane_prediction(p, pred, t_frames_M, crt,
+                                     fused=fused)
+        return jnp.sum(img ** 2)
+
+    crt0 = compact_raytracing_args(rt, pred, tile=256)
+    g0 = jax.grad(loss)(params, crt0)
+    gt0 = float(np.asarray(g0['t_injection']))
+    assert gt0 != 0.0
+
+    mesh = create_mesh((4, 2))
+    crt = compact_raytracing_args(rt, pred, tile=256, mesh=mesh)
+    g1 = jax.jit(jax.grad(loss))(params, crt)
+    gt1 = float(np.asarray(g1['t_injection']))
+    np.testing.assert_allclose(gt1, gt0, rtol=2e-4)
+    # the MLP leaves agree too
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-7),
+        g1, g0)
+
+
 def test_trainstep_repeat_calls_with_meshed_crt(setup):
     """Regression: TrainStep.__call__ with a sample-parallel (meshed)
     CompactRayArgs must survive repeated calls. ensure_placed used to
