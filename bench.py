@@ -454,12 +454,12 @@ def main():
                                            batch_args, rt, n_steps=10)
     except Exception as e:  # pragma: no cover - hardware dependent
         # the fused numbers above are already in hand — don't lose them
-        # to a baseline failure; fall back to the last driver-recorded
-        # measurement of the same workload (BENCH_r02.json, v5e)
+        # to a baseline failure; emit a null ratio rather than a number
+        # fabricated from another run's baseline
         mark(f'dense baseline unavailable ({type(e).__name__}: {e}); '
-             'using BENCH_r02-recorded 18.99 steps/s')
-        base_steps_per_sec = 18.99
-        baseline_source = 'BENCH_r02 (v5e)'
+             'vs_baseline will be null')
+        base_steps_per_sec = None
+        baseline_source = 'unavailable'
 
     best = max(steps_per_sec, scan_steps_per_sec)
     flops_fwd = mlp_flops_per_sample(predictor)
@@ -481,11 +481,14 @@ def main():
         'metric': 'train_ray_samples_per_sec',
         'value': round(ray_samples_per_sec),
         'unit': 'samples/s',
-        'vs_baseline': round(best / base_steps_per_sec, 3),
+        'vs_baseline': (round(best / base_steps_per_sec, 3)
+                        if base_steps_per_sec else None),
         'steps_per_sec': round(best, 2),
         'per_dispatch_steps_per_sec': round(steps_per_sec, 2),
         'scan_steps_per_sec': round(scan_steps_per_sec, 2),
-        'baseline_dense_xla_steps_per_sec': round(base_steps_per_sec, 2),
+        'baseline_dense_xla_steps_per_sec': (
+            round(base_steps_per_sec, 2) if base_steps_per_sec
+            else None),
         'baseline_source': baseline_source,
         'mlp_samples_per_sec': round(best * batch * n_eff),
         'model_tflops': round(model_tflops, 2),
@@ -498,7 +501,7 @@ def main():
         **geos_keys,
     }))
     print(f'# steps/sec: {best:.2f} (per-dispatch {steps_per_sec:.2f}, '
-          f'dense XLA baseline {base_steps_per_sec:.2f})  backend: '
+          f'dense XLA baseline {base_steps_per_sec})  backend: '
           f'{jax.default_backend()}  loss: {loss:.3f}', file=sys.stderr)
 
 

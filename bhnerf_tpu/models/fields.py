@@ -71,11 +71,18 @@ def posenc_feature_dim(in_dim, deg):
     return in_dim * (1 + 2 * deg)
 
 
+def has_learned_injection(params):
+    """True when params carry the learnable injection-time offset
+    (NeRFPredictor(learn_injection=True)) — the single definition of
+    the predicate used by the fused kernel's VJP and the warp paths."""
+    return isinstance(params, dict) and 't_injection' in params
+
+
 def learned_t_injection(params, t_injection):
     """Injection time plus the learnable offset, when trained
     (NeRFPredictor(learn_injection=True) + make_optimizer(lr_inject=...);
     the reference's commented-out t_injection param, network.py:235)."""
-    if isinstance(params, dict) and 't_injection' in params:
+    if has_learned_injection(params):
         return t_injection + params['t_injection']
     return t_injection
 

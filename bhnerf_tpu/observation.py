@@ -314,7 +314,20 @@ class Observation:
             d_L=jones.d_L if dterms else None,
             phi=jones.phi if field_rotation else None)
         vis[~self.mask] = np.nan
-        return dataclasses.replace(self, vis=vis)
+        # the calibrated observation records only the terms STILL in the
+        # data (None when fully calibrated) — a repeated calibrate()
+        # must not silently invert the Jones chain twice
+        remaining = AppliedJones(
+            g_R=None if gains else jones.g_R,
+            g_L=None if gains else jones.g_L,
+            d_R=None if dterms else jones.d_R,
+            d_L=None if dterms else jones.d_L,
+            phi=None if field_rotation else jones.phi)
+        if all(getattr(remaining, f) is None
+               for f in ('g_R', 'd_R', 'phi')):
+            remaining = None
+        return dataclasses.replace(self, vis=vis,
+                                   applied_jones=remaining)
 
     # ---- measurement operators -------------------------------------------
     def chisqdata(self, t_frames, dtype, image_fov, image_size, pol='I',
@@ -651,10 +664,10 @@ def dft_factors(u, v, image_fov, image_size, image_fov_y=None,
     combine; the complex product (Eu*Ev) matches the dense operator to
     f32 roundoff.
 
-    Rectangular images pass image_fov_y/image_size_y; Cu/Su then have
-    npix_x columns and Cv/Sv npix_y, padded to a common max (the
-    padding columns multiply pixels that don't exist and are never
-    read — kept zero).
+    Rectangular images pass image_fov_y/image_size_y; Cu/Su then carry
+    npix_x columns and Cv/Sv npix_y, zero-padded to a common max so the
+    four factors stack — train.step.apply_measurement_operator slices
+    each factor back to the image's static nx/ny before contracting.
     """
     def centered(fov, npix):
         pdim = fov / npix

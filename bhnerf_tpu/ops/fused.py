@@ -337,12 +337,20 @@ def _sample_specs(nt, tile):
     ]
 
 
+def _max_folded_cols(dtype):
+    """VMEM column budget for the folded (feat, nt*tile) layout — THE
+    single definition shared by tile picking, the acceptance check, and
+    the auto-batch chunk size (a lone tweak to any copy would make
+    render_samples' chunking disagree with the kernel's check).
+    f32 activations are 2x bf16, hence the smaller budget."""
+    return (6 if dtype == jnp.bfloat16 else 4) * TILE_N
+
+
 def _pick_tile(nt, dtype):
     """Sample-tile width: folded frames put nt*tile columns (and, in the
     bwd kernel, their activations) in VMEM at once — shrink the tile as
-    nt grows; f32 activations are 2x bf16. Shared by fwd/bwd so the
-    stashed F layout matches."""
-    max_cols = (6 if dtype == jnp.bfloat16 else 4) * TILE_N
+    nt grows. Shared by fwd/bwd so the stashed F layout matches."""
+    max_cols = _max_folded_cols(dtype)
     tile = TILE_N
     while nt * tile > max_cols and tile > 512:
         tile //= 2
@@ -354,8 +362,7 @@ def max_folded_frames(compute_dtype='float32'):
     (512) sample tile; callers with more frames must batch (see
     render_samples, which does so automatically)."""
     dtype = jnp.bfloat16 if compute_dtype == 'bfloat16' else jnp.float32
-    max_cols = (6 if dtype == jnp.bfloat16 else 4) * TILE_N
-    return max_cols // 512
+    return _max_folded_cols(dtype) // 512
 
 
 def _check_folded_vmem(nt, tile, dtype):
@@ -363,7 +370,7 @@ def _check_folded_vmem(nt, tile, dtype):
     with an actionable message (both kernels hold (feat, nt*tile)
     features — and the bwd additionally activations — in VMEM; past the
     budget Mosaic surfaces a raw allocation failure)."""
-    max_cols = (6 if dtype == jnp.bfloat16 else 4) * TILE_N
+    max_cols = _max_folded_cols(dtype)
     if nt * tile > max_cols:
         raise ValueError(
             f'fused kernel with nt={nt} frames holds {nt * tile} folded '
@@ -499,7 +506,8 @@ def _fr_bwd(cfg, scale, deg, compute_dtype, residuals, g_em):
     packed = pack_params(params, cfg[0])
     # the warp-time chain only matters when an injection offset is
     # trainable; the frozen hot path statically skips it (zeros)
-    want_dt = isinstance(params, dict) and 't_injection' in params
+    from bhnerf_tpu.models.fields import has_learned_injection
+    want_dt = has_learned_injection(params)
     flat, d_t = _render_bwd(g_em, em, f_store, omega, packed, cfg, deg,
                             compute_dtype, want_dt=want_dt)
     d_params = unpack_grads(list(flat), cfg[0])

@@ -365,9 +365,12 @@ class TrainStep:
         """
         if chisqdata is not None:
             dtype = getattr(chisqdata, 'dtype', dtype)
+        # only pass operator= when non-default: duck-typed observation
+        # objects need implement only the documented
+        # chisqdata(t, dtype, fov, size, pol) surface
+        op_kw = {} if operator == 'dense' else {'operator': operator}
         target, sigma, A = obs.chisqdata(
-            t_frames, dtype, image_fov, image_size, pol=pol,
-            operator=operator)
+            t_frames, dtype, image_fov, image_size, pol=pol, **op_kw)
         # split complex operators into real/imag (the TPU backend has no
         # complex dtypes; split matmuls are MXU-native)
         target, sigma, A = step_lib.to_real_measurements(

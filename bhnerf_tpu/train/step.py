@@ -31,16 +31,6 @@ from bhnerf_tpu.models.fields import learned_t_injection
 from bhnerf_tpu.ops import gr
 
 
-def _wants_warp_grad(params):
-    """True when params carry the learnable injection offset. Since the
-    fused kernel's VJP emits a t_eff cotangent (ops/fused.py bwd kernel:
-    the warp-angle gradient reconstructed from the stashed sin/cos
-    feature rows), such params train on the fused path too — this
-    predicate no longer gates fused routing and remains only for
-    callers that need to know a warp gradient exists."""
-    return isinstance(params, dict) and 't_injection' in params
-
-
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class RayTracingArgs:
@@ -867,20 +857,24 @@ def apply_measurement_operator(images, A):
           V = sum_y (Cv - i Sv) * (Tc - i Ts),   T* = I @ {Cu,Su}^T
       npix-fold less operator memory/HBM traffic than dense — the
       production-npix path (reference uses ehtim NFFT,
-      observation.py:121).
+      observation.py:121). Rectangular images: the Cu/Su rows carry nx
+      columns and Cv/Sv ny, zero-padded to max(nx, ny) in the common
+      stack — sliced back out here by the image's static shape.
     """
-    npix2 = images.shape[-1] * images.shape[-2]
+    ny, nx = images.shape[-2], images.shape[-1]
+    npix2 = ny * nx
     if A.shape[-1] == npix2 and A.shape[-3] != 4:
         image_vectors = images.reshape(*images.shape[:-2], -1, 1)
         image_vectors = utils.expand_dims(image_vectors, A.ndim, axis=-3)
         return jnp.squeeze(jnp.matmul(A, image_vectors), -1)
-    if A.shape[-3] != 4:
+    if A.shape[-3] != 4 or A.shape[-1] < max(nx, ny):
         raise ValueError(
             f'measurement operator shape {A.shape} matches neither the '
             f'dense (..., 2, n, {npix2}) nor the factored (..., 4, n, '
-            f'npix) layout for image shape {images.shape}')
+            f'>=max(nx, ny)) layout for image shape {images.shape}')
     imgs = utils.expand_dims(images, A.ndim - 1, axis=-3)
-    cu, su, cv, sv = (A[..., i, :, :] for i in range(4))
+    cu, su = A[..., 0, :, :nx], A[..., 1, :, :nx]
+    cv, sv = A[..., 2, :, :ny], A[..., 3, :, :ny]
     tc = jnp.einsum('...yx,...kx->...ky', imgs, cu)
     ts = jnp.einsum('...yx,...kx->...ky', imgs, su)
     re = jnp.sum(cv * tc - sv * ts, axis=-1)

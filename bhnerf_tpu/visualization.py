@@ -125,9 +125,13 @@ def interactive_slider(movie, ax=None, cmap=None, extent=None,
         raise ValueError(f'movie must be 3D (t, ny, nx); got shape '
                          f'{movie.shape}')
     if use_widgets is None:
+        # auto mode needs BOTH ipywidgets and a live IPython display —
+        # in a plain script an undisplayed widget would render nothing,
+        # so fall back to the matplotlib Slider there
         try:
             import ipywidgets  # noqa: F401
-            use_widgets = True
+            import IPython
+            use_widgets = IPython.get_ipython() is not None
         except ImportError:
             use_widgets = False
 

@@ -761,6 +761,19 @@ def test_dft_factors_rectangular():
     rebuilt = np.einsum('kr,kc->krc', ev, eu).reshape(len(u), -1)
     np.testing.assert_allclose(rebuilt, dense, atol=1e-12)
 
+    # and the training-time consumer contracts the padded stack
+    # correctly end-to-end (slices each factor back to nx/ny)
+    import jax.numpy as jnp
+    from bhnerf_tpu.train.step import apply_measurement_operator
+    img = rng.random((ny, nx))
+    vis_dense = dense @ img.ravel()
+    vis_f = np.asarray(apply_measurement_operator(
+        jnp.asarray(img, jnp.float32), jnp.asarray(f, jnp.float32)))
+    np.testing.assert_allclose(vis_f[0], vis_dense.real, rtol=2e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(vis_f[1], vis_dense.imag, rtol=2e-5,
+                               atol=1e-5)
+
 
 @pytest.mark.parametrize('dtype', ['vis', 'amp', 'cphase', 'bs',
                                    'logcamp', 'camp'])
@@ -869,9 +882,24 @@ def test_applied_jones_roundtrip(obs_empty):
     np.testing.assert_allclose(recovered.vis[m], clean.vis[m],
                                rtol=1e-10, atol=1e-12)
 
-    # partial calibration leaves the gain errors in
+    # a fully-calibrated observation records no remaining corruption:
+    # a second calibrate() must raise instead of silently inverting the
+    # Jones chain twice
+    assert recovered.applied_jones is None
+    with pytest.raises(ValueError):
+        recovered.calibrate()
+
+    # partial calibration leaves the gain errors in — and records which
+    # terms remain (exact completion later is NOT generally possible:
+    # the Jones factors G, D, F don't commute, so an out-of-order
+    # partial inverse leaves a conjugated — not pure-gain — residual;
+    # the record's job is preventing double-inversion and documenting
+    # what is still in the data)
     partial = corrupted.calibrate(gains=False)
     assert np.nanmax(np.abs(partial.vis[m] - clean.vis[m])) > 1e-3
+    rem = partial.applied_jones
+    assert rem is not None and rem.g_R is not None
+    assert rem.d_R is None and rem.phi is None
 
     # explicit tables work too (self-cal against known terms)
     explicit = obs_lib.apply_inverse_jones(

@@ -173,7 +173,15 @@ def test_interactive_slider_widget_drives_frames():
     movie = np.stack([np.full((4, 4), i, float) for i in range(5)])
     movie[3, 0, 0] = 10.0
 
-    widget = visualization.interactive_slider(movie)
+    # auto mode in a headless script (no IPython display) must fall
+    # back to the matplotlib Slider — an undisplayed ipywidget would
+    # render nothing
+    from matplotlib.widgets import Slider
+    auto = visualization.interactive_slider(movie)
+    assert isinstance(auto, Slider)
+    plt.close('all')
+
+    widget = visualization.interactive_slider(movie, use_widgets=True)
     import ipywidgets
     assert isinstance(widget, ipywidgets.interactive)
     slider = widget.children[0]
