@@ -252,3 +252,18 @@ def test_fused_forward_autobatches_many_frames(setup):
                                                   t_frames_M, rt))
     assert out.shape == ref.shape == (nt, 8, 8, 16)
     np.testing.assert_allclose(out, ref, atol=2e-6, rtol=1e-4)
+
+    # gradients compose across the auto-batched dispatches: each chunk
+    # stashes/backprops independently and the param cotangents sum
+    def loss(fn):
+        def f(p):
+            em = fn(p, predictor, t_frames_M, rt)
+            return jnp.sum(em ** 2)
+        return f
+
+    g_f = jax.grad(loss(fused.predict_emission_fused))(params)
+    g_x = jax.grad(loss(predict_emission))(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-6),
+        g_f, g_x)
