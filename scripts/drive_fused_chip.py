@@ -6,7 +6,9 @@ touching ops/fused.py this drives, ON THE REAL TPU:
 1. frozen-injection fused training grads (want_dt=False — the hot path
    must lower and keep matching the XLA reference);
 2. learnable-injection fused training (want_dt=True — new omega input,
-   d_F chain, (nt, 1) t_eff cotangent output) vs the XLA warp gradient;
+   d_F chain, (nt, 1) t_eff cotangent output) vs the XLA warp gradient,
+   normalized by the frame-cancellation scale (the raw scalar is
+   ill-conditioned: see scripts/diag_tgrad_cpu.py);
 3. the double-angle posenc prologue accuracy vs the XLA path;
 4. per-step timing of frozen vs learnable injection (the learnable path
    should be within ~2x of frozen — VERDICT r3 item #7 acceptance).
@@ -76,18 +78,19 @@ def main():
             params['t_injection'] = jnp.float32(3.0)
         crt = compact_raytracing_args(rt, pred)
 
-        def loss(p, use_fused, _pred=pred, _crt=crt):
-            img = image_plane_prediction(p, _pred, t_frames_M, _crt,
+        def loss(p, tf, use_fused, _pred=pred, _crt=crt):
+            img = image_plane_prediction(p, _pred, tf, _crt,
                                          fused=use_fused)
             return jnp.sum(img ** 2)
 
-        gfn = jax.jit(jax.value_and_grad(loss), static_argnums=(1,))
-        l_x, g_x = gfn(params, False)
-        l_f, g_f = gfn(params, True)
+        gfn = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)),
+                      static_argnums=(2,))
+        l_x, (g_x, gtf_x) = gfn(params, t_frames_M, False)
+        l_f, (g_f, gtf_f) = gfn(params, t_frames_M, True)
         jax.block_until_ready(l_f)
         rel = abs(float(l_f) - float(l_x)) / abs(float(l_x))
-        print(f'# {name}: loss rel diff fused-vs-XLA {rel:.2e}',
-              flush=True)
+        print(f'# {name}: loss fused {float(l_f):.4f} XLA {float(l_x):.4f}'
+              f' rel diff {rel:.2e}', flush=True)
         assert rel < 1e-3, (name, float(l_x), float(l_f))
         for k in g_x:
             a = np.asarray(jax.tree_util.tree_leaves(g_x[k])[0]).ravel()
@@ -96,19 +99,39 @@ def main():
             cos = float(a @ b / denom)
             assert cos > 0.99, (name, k, cos)
         if name == 'learnable':
+            # The SCALAR t_injection gradient is ill-conditioned at this
+            # problem size: per-frame dt terms cancel ~14x across frames
+            # (and more across samples), so even CPU f32 XLA-vs-interpret
+            # differs by 6.1e-3 of the scalar (scripts/diag_tgrad_cpu.py,
+            # 2026-08-18: CPU 15.987 vs 15.889, sum|per-frame| = 220 vs
+            # |sum| = 16). Acceptance is therefore normalized by the
+            # CANCELLATION SCALE sum|d loss/d t_frame| — a real formula
+            # bug (sign, octave weight, missing term) distorts the
+            # per-frame vector by O(scale), ~300x this tolerance.
             gt_x = float(np.asarray(g_x['t_injection']))
             gt_f = float(np.asarray(g_f['t_injection']))
-            print(f'# t_injection grad: XLA {gt_x:.6g} fused {gt_f:.6g}',
-                  flush=True)
-            assert abs(gt_x) > 1e-6
-            assert abs(gt_f - gt_x) < 5e-3 * abs(gt_x), (gt_x, gt_f)
+            pf_x = np.asarray(gtf_x, np.float64)
+            pf_f = np.asarray(gtf_f, np.float64)
+            scale = np.abs(pf_x).sum()
+            print(f'# t_injection grad: XLA {gt_x:.6g} fused {gt_f:.6g} '
+                  f'(frame-cancellation scale {scale:.4g}, '
+                  f'x{scale / max(abs(gt_x), 1e-30):.1f})', flush=True)
+            print(f'# per-frame dt: XLA {pf_x.round(4)}', flush=True)
+            print(f'#               fused {pf_f.round(4)}', flush=True)
+            assert scale > 1e-4, 'degenerate test: zero warp gradient'
+            assert abs(gt_f - gt_x) < 3e-3 * scale, (gt_x, gt_f, scale)
+            assert np.max(np.abs(pf_f - pf_x)) < 3e-3 * scale, (pf_x, pf_f)
+            cos_t = float(pf_x @ pf_f
+                          / (np.linalg.norm(pf_x) * np.linalg.norm(pf_f)
+                             + 1e-30))
+            assert cos_t > 0.999, (cos_t, pf_x, pf_f)
 
         # timing: fused grad evals
-        l, g = gfn(params, True)
+        l, g = gfn(params, t_frames_M, True)
         jax.block_until_ready(l)
         t0 = time.perf_counter()
         for _ in range(n_iters):
-            l, g = gfn(params, True)
+            l, g = gfn(params, t_frames_M, True)
         jax.block_until_ready(l)
         results[name] = n_iters / (time.perf_counter() - t0)
         print(f'# {name}: {results[name]:.1f} fused grad evals/s',
