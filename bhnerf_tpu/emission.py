@@ -9,6 +9,7 @@ only as an API-parity wrapper).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -242,9 +243,13 @@ def apply_stokes_factors(emission, J):
 def image_plane_dynamics(emission_0, geos, Omega, t_frames, t_injection,
                          J=1.0, t_start_obs=None, slow_light=True,
                          doppler=True, rot_axis=(0, 0, 1),
-                         M=consts.sgra_mass):
+                         M=consts.sgra_mass, frame_chunk=None):
     """Render the image-plane movie of a rigidly-rotating 3D emission field
-    (reference emission.py:235-303). Pure jnp: runs on TPU under jit."""
+    (reference emission.py:235-303). Pure jnp: runs on TPU under jit.
+
+    frame_chunk: frames per eager dispatch for large movies (None =
+    auto-size to a ~1 GB warp-temporary budget; see the chunking note
+    in the body)."""
     t_geos = jnp.asarray(geos.t) if slow_light else 0.0
     if t_start_obs is None:
         if isinstance(t_frames, units.Quantity):
@@ -252,6 +257,33 @@ def image_plane_dynamics(emission_0, geos, Omega, t_frames, t_injection,
         else:
             # jnp (not np): t_frames may be a tracer under jit
             t_start_obs = jnp.atleast_1d(jnp.asarray(t_frames))[0]
+
+    # Auto-chunk large EAGER movie renders over frames: outside jit every
+    # warp intermediate materializes in HBM — the rotation tensor alone is
+    # (3, 3, nt, N) = 36*nt*N bytes, which OOM'd a 16 GB v5e at the
+    # production npix=128, ngeo=100, nt=64 ground-truth render. Chunks
+    # recurse with t_start_obs pinned to the GLOBAL first frame so the
+    # warp phase is unchanged. Inside jit (tracer t_frames) XLA fuses the
+    # chain, so the single-shot path is kept.
+    nt = np.shape(t_frames)[0] if np.ndim(t_frames) else 0
+    if nt > 1 and not isinstance(t_frames, jax.core.Tracer):
+        if frame_chunk is None:
+            n = int(np.prod(np.shape(geos.x)))
+            frame_chunk = max(1, int(2 ** 30) // max(36 * n, 1))
+        if frame_chunk < nt:
+            is_movie = (isinstance(emission_0, utils.Grid3D)
+                        and emission_0.data.ndim != 3)
+            outs = []
+            for i in range(0, nt, frame_chunk):
+                em_i = (utils.Grid3D(emission_0.data[i:i + frame_chunk],
+                                     emission_0.start, emission_0.stop)
+                        if is_movie else emission_0)
+                outs.append(image_plane_dynamics(
+                    em_i, geos, Omega, t_frames[i:i + frame_chunk],
+                    t_injection, J, t_start_obs=t_start_obs,
+                    slow_light=slow_light, doppler=doppler,
+                    rot_axis=rot_axis, M=M, frame_chunk=nt))
+            return jnp.concatenate(outs, axis=0)
 
     warped, valid = velocity_warp_coords(
         coords=jnp.asarray(np.stack([geos.x, geos.y, geos.z], axis=0)),

@@ -164,3 +164,35 @@ def test_radiative_transfer_linearity(geos):
                                             geos.Sigma))
     np.testing.assert_allclose(2 * img1, img2, rtol=1e-6)
     assert img1.shape == (32, 32)
+
+
+def test_image_plane_dynamics_frame_chunking_equality(geos):
+    """Eager frame-chunked movie renders (the OOM guard for production
+    npix: the un-jitted warp materializes (3, 3, nt, N) temporaries)
+    match the single-shot path exactly, for both a static 3D field and
+    a movie-valued emission, including the t_start_obs pinning."""
+    r_isco = float(constants.isco_pro(geos.spin))
+    field = emission.generate_hotspot(
+        resolution=(24, 24, 24), rot_axis=[0, 0, 1], rot_angle=0.0,
+        orbit_radius=1.2 * r_isco, std=0.7, r_isco=r_isco, fov=20.0)
+    Omega = geos.keplerian_omega()
+    t_frames = units.Quantity(np.linspace(0.0, 0.7, 5), 'hr')
+    t_inj = -float(geos.r_o + 5.0)
+
+    one = np.asarray(emission.image_plane_dynamics(
+        field, geos, Omega, t_frames, t_inj, frame_chunk=5))
+    chunked = np.asarray(emission.image_plane_dynamics(
+        field, geos, Omega, t_frames, t_inj, frame_chunk=2))
+    assert one.shape == chunked.shape == (5, 32, 32)
+    np.testing.assert_array_equal(one, chunked)
+
+    # movie emission: each frame interpolates its own 3D field slice
+    movie_field = utils.Grid3D(
+        np.stack([field.data * (1 + 0.1 * i) for i in range(5)]),
+        field.start, field.stop)
+    one_m = np.asarray(emission.image_plane_dynamics(
+        movie_field, geos, Omega, t_frames, t_inj, frame_chunk=5))
+    chunked_m = np.asarray(emission.image_plane_dynamics(
+        movie_field, geos, Omega, t_frames, t_inj, frame_chunk=2))
+    np.testing.assert_array_equal(one_m, chunked_m)
+    assert not np.array_equal(one_m, one)
