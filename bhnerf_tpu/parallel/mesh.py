@@ -66,3 +66,99 @@ def ray_sharding_spec(ndim, mesh, ray_axis):
     return NamedSharding(mesh, P(*spec))
 
 
+# ---------------------------------------------------------------------------
+# Multi-host / multi-slice (DCN) support — beyond the reference, whose only
+# parallelism is single-host jax.pmap (reference bhnerf/optimization.py:209-216;
+# device selection via CUDA_VISIBLE_DEVICES, Fit_ALMA...py:53). On TPU pods
+# the same ('data', 'ray') mesh spans hosts: frames (the gradient-sync axis,
+# one small psum of ~67k-param grads per step) ride the slow DCN links between
+# slices, while the chatty 'ray' axis (per-step psum of image-sized partials
+# in the sample-parallel shard_map path) stays inside a slice on ICI.
+# ---------------------------------------------------------------------------
+
+
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None, **kw):
+    """Bootstrap `jax.distributed` for multi-host training.
+
+    Safe to call unconditionally at the top of a fitting script:
+    a no-op when the runtime is single-process (no coordinator configured
+    and no cluster env detected) or when already initialized. On TPU pods
+    all three arguments are normally auto-detected from the environment
+    and may be omitted.
+
+    Returns True if the distributed runtime is (now) initialized.
+    """
+    if jax.distributed.is_initialized():
+        return True
+    import os
+    cluster_env = any(os.environ.get(k) for k in (
+        'JAX_COORDINATOR_ADDRESS', 'COORDINATOR_ADDRESS',
+        'MEGASCALE_COORDINATOR_ADDRESS'))
+    # TPU pod VMs export the worker list; >1 entries means multi-host
+    cluster_env = cluster_env or (
+        ',' in os.environ.get('TPU_WORKER_HOSTNAMES', ''))
+    if coordinator_address is None and not cluster_env:
+        return False                                # single-process run
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id, **kw)
+    return True
+
+
+def _slice_count(devices):
+    """Number of distinct accelerator slices (1 unless on a multi-slice
+    DCN deployment; CPU/GPU devices carry no slice_index)."""
+    ids = {getattr(d, 'slice_index', 0) or 0 for d in devices}
+    return max(len(ids), 1)
+
+
+def create_hybrid_mesh(ici_shape=None, axis_names=('data', 'ray'),
+                       devices=None):
+    """('data', 'ray') mesh spanning one or more TPU slices.
+
+    Single-slice (the common case, incl. the virtual CPU mesh): identical
+    to `create_mesh(ici_shape)`. Multi-slice: the slice axis folds into
+    'data' — `mesh_utils.create_hybrid_device_mesh` orders devices so the
+    leading 'data' axis crosses DCN while 'ray' stays slice-local on ICI,
+    which is the right layout for this workload (per-step 'ray' collective
+    = image-sized psum every dispatch; 'data' collective = one grad psum).
+
+    ici_shape is the per-slice (data, ray) factorization; None puts every
+    per-slice device on 'data' (frame-DP).
+    """
+    devices = jax.devices() if devices is None else devices
+    n_slices = _slice_count(devices)
+    if n_slices == 1:
+        return create_mesh(ici_shape, axis_names, devices)
+    per_slice = len(devices) // n_slices
+    if ici_shape is None:
+        ici_shape = (per_slice, 1)
+    if int(np.prod(ici_shape)) != per_slice:
+        raise ValueError(f'ici_shape {ici_shape} != devices/slice '
+                         f'{per_slice}')
+    from jax.experimental import mesh_utils
+    dev_array = mesh_utils.create_hybrid_device_mesh(
+        ici_shape, dcn_mesh_shape=(n_slices, 1), devices=devices,
+        allow_split_physical_axes=True)
+    return Mesh(dev_array, axis_names)
+
+
+def make_global_frames(tree, mesh):
+    """Multi-host-safe variant of `shard_frames`.
+
+    Each process passes its PROCESS-LOCAL span of the frame axis (frames
+    whose global shard lands on this host's devices, in mesh order);
+    returns fully-addressable global jax.Arrays sharded P('data').
+    Single-process meshes accept the full array and reduce exactly to
+    `shard_frames` (tested equal), so scripts can use this
+    unconditionally.
+    """
+    sh = frame_sharding(mesh)
+    if len(mesh.devices.flat) == len(jax.local_devices()):
+        return shard_frames(tree, mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        tree)
+
+

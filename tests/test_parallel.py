@@ -569,3 +569,57 @@ def test_mesh_sharded_device_trace_matches():
     with pytest.raises(ValueError, match='device'):
         image_plane_geos(mesh=create_mesh((4, 2)),
                          **{**kw, 'backend': 'cpu'})
+
+
+def test_hybrid_mesh_single_slice_fallback():
+    """CPU devices carry no slice_index: create_hybrid_mesh must reduce
+    exactly to create_mesh, and make_global_frames to shard_frames."""
+    from bhnerf_tpu.parallel import (create_hybrid_mesh, create_mesh,
+                                     make_global_frames, shard_frames)
+    mesh = create_hybrid_mesh((4, 2))
+    ref = create_mesh((4, 2))
+    assert mesh.shape == ref.shape == {'data': 4, 'ray': 2}
+    assert [d.id for d in mesh.devices.flat] == \
+        [d.id for d in ref.devices.flat]
+    x = np.arange(32, dtype=np.float32).reshape(4, 8)
+    a = make_global_frames([x], mesh)[0]
+    b = shard_frames([x], mesh)[0]
+    assert a.sharding.is_equivalent_to(b.sharding, a.ndim)
+    np.testing.assert_array_equal(np.asarray(a), x)
+
+
+def test_hybrid_mesh_multi_slice_layout():
+    """With synthetic slice indices, the DCN (slice) axis must fold into
+    the leading 'data' axis and 'ray' must stay slice-local (ICI)."""
+    from bhnerf_tpu.parallel import create_hybrid_mesh
+
+    class FakeDev:
+        """Duck-typed device: mesh construction only reads identity/attrs."""
+        def __init__(self, d, i):
+            self.id = 4 * d + i
+            self.slice_index = d
+            self.process_index = d
+            self.platform = 'cpu'
+            # coords used by create_hybrid_device_mesh's granule sort
+            self.coords = (i, 0, 0)
+            self.core_on_chip = 0
+            self.device_kind = 'fake'
+
+        def __repr__(self):
+            return f'FakeDev({self.id})'
+
+    devs = [FakeDev(d, i) for d in range(2) for i in range(4)]
+    mesh = create_hybrid_mesh((2, 2), devices=devs)
+    assert mesh.shape == {'data': 4, 'ray': 2}
+    arr = mesh.devices
+    # every 'ray' row must live inside ONE slice (ICI-local collective)
+    for row in range(arr.shape[0]):
+        slices = {d.slice_index for d in arr[row]}
+        assert len(slices) == 1, f'ray axis crosses DCN at data row {row}'
+    # both slices appear along 'data'
+    assert {d.slice_index for d in arr.flat} == {0, 1}
+
+
+def test_initialize_distributed_single_process_noop():
+    from bhnerf_tpu.parallel import initialize_distributed
+    assert initialize_distributed() is False  # no cluster env: no-op
