@@ -46,6 +46,36 @@ def total_movie_loss(batchsize, state, train_step, raytracing_args,
     return output
 
 
+class _GracefulShutdown:
+    """SIGTERM-aware scope: preempted TPU workers get a SIGTERM + grace
+    period; the training loops poll `requested` at step/chunk boundaries
+    and checkpoint-and-return instead of dying mid-step. The reference
+    only catches KeyboardInterrupt (optimization.py:138-139). No-op when
+    not on the main thread (signal registration would raise)."""
+
+    def __init__(self):
+        self.requested = False
+        self._prev = None
+
+    def __enter__(self):
+        import signal
+
+        def handler(signum, frame):
+            self.requested = True
+
+        try:
+            self._prev = signal.signal(signal.SIGTERM, handler)
+        except ValueError:      # not the main thread
+            self._prev = None
+        return self
+
+    def __exit__(self, *exc):
+        import signal
+        if self._prev is not None:
+            signal.signal(signal.SIGTERM, self._prev)
+        return False
+
+
 class Optimizer:
     """Gradient-descent driver (reference optimization.py:68-143)."""
 
@@ -77,9 +107,9 @@ class Optimizer:
         for log_fn in self.log_fns:
             log_fn(self)
 
-    def save_checkpoint(self):
+    def save_checkpoint(self, force=False):
         if self.checkpoint_dir and (
-                self.step % self.save_period == 0
+                force or self.step % self.save_period == 0
                 or self.step == self.final_step - 1):
             state_lib.save_checkpoint(self.checkpoint_dir, self.state,
                                       int(self.step), keep=self.keep)
@@ -89,6 +119,8 @@ class Optimizer:
         """Training loop (reference optimization.py:123-139), plus a
         periodic non-finite-loss guard (the reference trains blindly
         through NaNs; checking every step would force a host sync).
+        SIGTERM (TPU preemption) checkpoints the current step and
+        returns cleanly; a rerun resumes from it via restore_checkpoint.
 
         scan_chunk > 0 runs up to `scan_chunk` steps per dispatch via
         lax.scan (step.make_scan_step, or make_composed_scan_step for
@@ -133,20 +165,26 @@ class Optimizer:
         if verbose:
             iterator = tqdm(iterator, desc='iteration')
         try:
-            for self.step in iterator:
-                batch = train_step.args[0].sample(batchsize)
-                self.loss, self.state, images = train_step(
-                    self.state, raytracing_args, indices=batch)
-                if (nan_check_period and
-                        self.step % nan_check_period == 0 and
-                        not np.isfinite(np.asarray(self.loss)).all()):
-                    import warnings
-                    warnings.warn(
-                        f'non-finite loss at step {self.step}; stopping '
-                        f'(last checkpoint is recoverable)')
-                    return
-                self.log()
-                self.save_checkpoint()
+            with _GracefulShutdown() as shutdown:
+                for self.step in iterator:
+                    batch = train_step.args[0].sample(batchsize)
+                    self.loss, self.state, images = train_step(
+                        self.state, raytracing_args, indices=batch)
+                    if (nan_check_period and
+                            self.step % nan_check_period == 0 and
+                            not np.isfinite(np.asarray(self.loss)).all()):
+                        import warnings
+                        warnings.warn(
+                            f'non-finite loss at step {self.step}; stopping '
+                            f'(last checkpoint is recoverable)')
+                        return
+                    self.log()
+                    self.save_checkpoint()
+                    if shutdown.requested:
+                        # preemption (SIGTERM): persist progress and end
+                        # the run cleanly; restore_checkpoint resumes it
+                        self.save_checkpoint(force=True)
+                        return
         except KeyboardInterrupt:
             return
 
@@ -181,46 +219,58 @@ class Optimizer:
         pbar = tqdm(total=self.num_iters, desc='iteration') if verbose \
             else None
         try:
-            while step < self.final_step - 1:
-                chunk = min(scan_chunk, self.final_step - 1 - step,
-                            next_boundary(step) - step)
-                key, sub = jax.random.split(key)
-                if train_step.num_losses == 1:
-                    scan_fn = step_lib.make_scan_step(
-                        batchsize=batchsize, chunk=int(chunk),
-                        num_variants=num_variants, **train_step.scan_meta)
-                    self.state, losses = scan_fn(
-                        self.state, *train_step.args[0].device_args,
-                        sub, rt, scale)
-                else:
-                    scan_fn = step_lib.make_composed_scan_step(
-                        batchsize=batchsize, chunk=int(chunk),
-                        num_variants=num_variants,
-                        metas=tuple(tuple(sorted(m.items()))
-                                    for m in train_step.scan_metas),
-                        scales=tuple(float(s) for s in train_step.scale))
-                    flat = [t for a in train_step.args
-                            for t in a.device_args]
-                    self.state, losses = scan_fn(self.state, *flat, sub,
-                                                 rt)
-                step += chunk
-                self.step = step
-                self.loss = losses[-1]
-                if not np.isfinite(np.asarray(self.loss)).all():
-                    import warnings
-                    warnings.warn(
-                        f'non-finite loss at step {self.step}; stopping '
-                        f'(last checkpoint is recoverable)')
-                    return
-                if pbar is not None:
-                    pbar.update(int(chunk))
-                self.log()
-                self.save_checkpoint()
+            with _GracefulShutdown() as shutdown:
+                self._scan_loop(shutdown, batchsize, train_step, rt,
+                                scan_chunk, num_variants, scale, key,
+                                step, next_boundary, pbar)
         except KeyboardInterrupt:
             return
         finally:
             if pbar is not None:
                 pbar.close()
+
+    def _scan_loop(self, shutdown, batchsize, train_step, rt, scan_chunk,
+                   num_variants, scale, key, step, next_boundary, pbar):
+        while step < self.final_step - 1:
+            chunk = min(scan_chunk, self.final_step - 1 - step,
+                        next_boundary(step) - step)
+            key, sub = jax.random.split(key)
+            if train_step.num_losses == 1:
+                scan_fn = step_lib.make_scan_step(
+                    batchsize=batchsize, chunk=int(chunk),
+                    num_variants=num_variants, **train_step.scan_meta)
+                self.state, losses = scan_fn(
+                    self.state, *train_step.args[0].device_args,
+                    sub, rt, scale)
+            else:
+                scan_fn = step_lib.make_composed_scan_step(
+                    batchsize=batchsize, chunk=int(chunk),
+                    num_variants=num_variants,
+                    metas=tuple(tuple(sorted(m.items()))
+                                for m in train_step.scan_metas),
+                    scales=tuple(float(s) for s in train_step.scale))
+                flat = [t for a in train_step.args
+                        for t in a.device_args]
+                self.state, losses = scan_fn(self.state, *flat, sub,
+                                             rt)
+            step += chunk
+            self.step = step
+            self.loss = losses[-1]
+            if not np.isfinite(np.asarray(self.loss)).all():
+                import warnings
+                warnings.warn(
+                    f'non-finite loss at step {self.step}; stopping '
+                    f'(last checkpoint is recoverable)')
+                return
+            if pbar is not None:
+                pbar.update(int(chunk))
+            self.log()
+            self.save_checkpoint()
+            if shutdown.requested:
+                # preemption (SIGTERM): persist progress and end the run
+                # cleanly; restore_checkpoint resumes it
+                self.save_checkpoint(force=True)
+                return
 
     @property
     def params(self):

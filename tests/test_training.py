@@ -388,3 +388,62 @@ def test_scan_resume_from_checkpoint(tmp_path, problem):
              verbose=False, scan_chunk=25)
     assert int(np.asarray(opt2.state.step)) == 60
     assert np.isfinite(np.asarray(opt2.loss))
+
+
+def test_sigterm_preemption_checkpoints_and_stops(tmp_path, problem):
+    """Preempted workers get SIGTERM: the per-step loop must checkpoint
+    the interrupted step and return cleanly (resumable)."""
+    import signal
+    predictor = NeRFPredictor(scale=FOV / 2, rmax=FOV / 2, z_width=2.0,
+                              net_depth=2, net_width=16)
+    rt = problem['rt']
+    optimizer = Optimizer({'num_iters': 50, 'lr_init': 1e-3, 'seed': 0},
+                          predictor, rt, checkpoint_dir=str(tmp_path),
+                          save_period=1000)
+    train_step = TrainStep.image(problem['t_frames'], problem['movie'],
+                                 predictor, dtype='full')
+    steps_seen = []
+
+    def preempt(opt):
+        steps_seen.append(int(opt.step))
+        if opt.step == optimizer.init_step + 4:
+            os.kill(os.getpid(), signal.SIGTERM)
+
+    optimizer.run(batchsize=4, train_step=train_step, raytracing_args=rt,
+                  log_fns=[preempt], verbose=False)
+    assert steps_seen[-1] == optimizer.init_step + 4, 'did not stop early'
+    st = restore_checkpoint(tmp_path, TrainState.create(
+        predictor.init_params(seed=9), make_optimizer(10)))
+    assert int(np.asarray(st.step)) == steps_seen[-1]
+    # the handler is scoped to run(): SIGTERM disposition restored after
+    assert signal.getsignal(signal.SIGTERM) is signal.SIG_DFL
+
+
+def test_sigterm_preemption_scan_path(tmp_path, problem):
+    """Same contract on the scan-chunked loop: stop at the chunk boundary
+    after the signal, with the state checkpointed at that step."""
+    import signal
+    from bhnerf_tpu.train import LogFn
+    from bhnerf_tpu.train.step import compact_raytracing_args
+    predictor = NeRFPredictor(scale=FOV / 2, rmax=FOV / 2, z_width=2.0,
+                              net_depth=2, net_width=16)
+    rt = compact_raytracing_args(problem['rt'], predictor, tile=256)
+    optimizer = Optimizer({'num_iters': 30, 'lr_init': 1e-3, 'seed': 0},
+                          predictor, rt, checkpoint_dir=str(tmp_path),
+                          save_period=1000)
+    train_step = TrainStep.image(problem['t_frames'], problem['movie'],
+                                 predictor, dtype='full')
+    steps_seen = []
+
+    def preempt(opt):
+        steps_seen.append(int(opt.step))
+        if opt.step >= 10:
+            os.kill(os.getpid(), signal.SIGTERM)
+
+    optimizer.run(batchsize=4, train_step=train_step, raytracing_args=rt,
+                  log_fns=[LogFn(preempt, log_period=5)], verbose=False,
+                  scan_chunk=5)
+    assert steps_seen[-1] == 10, 'did not stop at the signalled chunk'
+    st = restore_checkpoint(tmp_path, TrainState.create(
+        predictor.init_params(seed=9), make_optimizer(10)))
+    assert int(np.asarray(st.step)) == 10
