@@ -120,8 +120,15 @@ def latest_checkpoint_step(checkpoint_dir):
 
 def save_checkpoint(checkpoint_dir, state: TrainState, step, keep=5):
     """Save params/opt_state/step under checkpoint_<step>
-    (reference optimization.py:118-121 semantics)."""
+    (reference optimization.py:118-121 semantics).
+
+    Multi-host: params/opt_state are replicated (every process holds
+    addressable replicas), so process 0 writes for the whole job —
+    concurrent writers would race on the same checkpoint_<step> path
+    and on the prune below."""
     import orbax.checkpoint as ocp
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return
     checkpoint_dir = Path(checkpoint_dir).absolute()
     checkpoint_dir.mkdir(parents=True, exist_ok=True)
     payload = {
