@@ -89,20 +89,49 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
 
     Returns True if the distributed runtime is (now) initialized.
     """
+    import logging
+    log = logging.getLogger(__name__)
     if jax.distributed.is_initialized():
         return True
-    import os
-    cluster_env = any(os.environ.get(k) for k in (
-        'JAX_COORDINATOR_ADDRESS', 'COORDINATOR_ADDRESS',
-        'MEGASCALE_COORDINATOR_ADDRESS'))
-    # TPU pod VMs export the worker list; >1 entries means multi-host
-    cluster_env = cluster_env or (
-        ',' in os.environ.get('TPU_WORKER_HOSTNAMES', ''))
-    if coordinator_address is None and not cluster_env:
-        return False                                # single-process run
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id, **kw)
+    if coordinator_address is not None:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id, **kw)
+        log.info('jax.distributed initialized (explicit coordinator): '
+                 'process %d/%d', jax.process_index(), jax.process_count())
+        return True
+    # No explicit coordinator: let jax's own cluster detectors (Slurm,
+    # GKE JobSet, TPU pod metadata, ...) fill in the parameters. When no
+    # cluster is detected initialize() raises ValueError
+    # ("coordinator_address should be defined") — the single-process case.
+    try:
+        jax.distributed.initialize(num_processes=num_processes,
+                                   process_id=process_id, **kw)
+    except ValueError:
+        log.info('jax.distributed not initialized: no cluster detected '
+                 '(single-process run)')
+        return False
+    except RuntimeError:
+        # The XLA backend is already initialized (jax.devices() etc. was
+        # called first) — too late for initialize() to run detection. If
+        # the environment still looks like a cluster, refuse to fall back
+        # silently; otherwise this is an ordinary single-process run.
+        import os
+        cluster_env = any(os.environ.get(k) for k in (
+            'JAX_COORDINATOR_ADDRESS', 'COORDINATOR_ADDRESS',
+            'MEGASCALE_COORDINATOR_ADDRESS')) or (
+            ',' in os.environ.get('TPU_WORKER_HOSTNAMES', ''))
+        if cluster_env:
+            raise RuntimeError(
+                'initialize_distributed() was called after the XLA '
+                'backend was initialized, but the environment indicates '
+                'a multi-host cluster. Call initialize_distributed() '
+                'before any other JAX API (jax.devices, device_put, ...).')
+        log.info('jax.distributed not initialized: XLA backend already '
+                 'up, no cluster env detected (single-process run)')
+        return False
+    log.info('jax.distributed initialized (cluster auto-detected): '
+             'process %d/%d', jax.process_index(), jax.process_count())
     return True
 
 
@@ -155,7 +184,11 @@ def make_global_frames(tree, mesh):
     unconditionally.
     """
     sh = frame_sharding(mesh)
-    if len(mesh.devices.flat) == len(jax.local_devices()):
+    # Gate on the process count, not a device-count coincidence: a
+    # multi-host mesh over a device subset equal in size to this host's
+    # local device count must still take the process-local assembly path
+    # (device_put onto non-addressable devices would fail).
+    if jax.process_count() == 1:
         return shard_frames(tree, mesh)
     return jax.tree_util.tree_map(
         lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),

