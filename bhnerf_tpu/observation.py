@@ -818,7 +818,8 @@ class AppliedJones:
 def station_jones(obs, rng, station_noise=True, dterm_noise=False,
                   sigmat=0.25, dterm_offset=0.05, phase_std=2 * np.pi,
                   ampcal=None, phasecal=None, stabilize_scan_amp=True,
-                  stabilize_scan_phase=True):
+                  stabilize_scan_phase=True, rlgaincal=False,
+                  neggains=False):
     """Per-scan, per-station Jones components (gains + D-terms).
 
     Models the reference's noise tier (observation.py:152-187):
@@ -840,7 +841,12 @@ def station_jones(obs, rng, station_noise=True, dterm_noise=False,
     `not station_noise`. stabilize_scan_amp/phase=False decorrelate the
     wander between scans (i.i.d. draws; the scan is the finest time
     granularity of this container, so "per-integration" variation means
-    per-scan here).
+    per-scan here). rlgaincal=True correlates the feeds (R and L share
+    the SAME time-dependent gain draws; False — the reference's
+    station-noise setting — draws them independently). neggains=True
+    makes the constant per-station offsets one-sided signal LOSSES,
+    |1| - off*|N(0,1)| <= 1, instead of symmetric (ehtim's neggains;
+    reference passes False, observation.py:167,184).
 
     Returns (g_R, g_L, d_R, d_L): gains (nscan, ns) complex and D-terms
     (ns,) complex.
@@ -853,8 +859,13 @@ def station_jones(obs, rng, station_noise=True, dterm_noise=False,
     if not (ampcal and phasecal):
         off = np.array([GAIN_OFFSET.get(n, 0.1) for n in obs.array.names])
         gp = np.array([GAINP.get(n, 0.05) for n in obs.array.names])
-        const_gain = 1.0 + off * rng.standard_normal(ns)
-        for g in (g_R, g_L):
+        if neggains:        # one-sided: stations only LOSE sensitivity
+            const_gain = 1.0 - off * np.abs(rng.standard_normal(ns))
+        else:
+            const_gain = 1.0 + off * rng.standard_normal(ns)
+        # rlgaincal=True: R/L feeds share one set of wander draws
+        feeds = (g_R,) if rlgaincal else (g_R, g_L)
+        for g in feeds:
             amp_w = gauss_markov_series(
                 rng, obs.times, ns, sigmat if stabilize_scan_amp else 0.0)
             ph_w = gauss_markov_series(
@@ -864,6 +875,8 @@ def station_jones(obs, rng, station_noise=True, dterm_noise=False,
                 g *= np.abs(const_gain * (1.0 + gp * amp_w))
             if not phasecal:
                 g *= np.exp(1j * phase_std * ph_w)
+        if rlgaincal:
+            g_L[:] = g_R
     d_R = np.zeros(ns, complex)
     d_L = np.zeros(ns, complex)
     if dterm_noise:
@@ -984,7 +997,8 @@ def observe_same(movie, times_hr, psize, obs, thermal_noise=True,
                  station_noise=False, dterm_noise=False, sigmat=0.25,
                  seed=False, dterm_offset=0.05, ampcal=None, phasecal=None,
                  frcal=True, dcal=None, stabilize_scan_amp=True,
-                 stabilize_scan_phase=True):
+                 stabilize_scan_phase=True, rlgaincal=False,
+                 neggains=False):
     """Observe a movie with the array: DFT sampling + noise corruption
     (reference observation.py:121-187 wrapping ehtim observe_same).
 
@@ -1004,7 +1018,9 @@ def observe_same(movie, times_hr, psize, obs, thermal_noise=True,
     table (uncalibrated feed rotation — relevant for polarized-EHT
     fidelity), which apply_inverse_jones can undo with the known
     angles; stabilize_scan_amp/phase=False decorrelate the gain wander
-    between scans.
+    between scans; rlgaincal=True correlates the R/L feed gains;
+    neggains=True draws one-sided (loss-only) gain offsets — both
+    forwarded to station_jones (reference observation.py:167,171,184).
     """
     movie = np.asarray(movie)
     if movie.ndim == 3:
@@ -1036,7 +1052,8 @@ def observe_same(movie, times_hr, psize, obs, thermal_noise=True,
             dterm_noise=apply_dterms, sigmat=sigmat,
             dterm_offset=dterm_offset, ampcal=ampcal, phasecal=phasecal,
             stabilize_scan_amp=stabilize_scan_amp,
-            stabilize_scan_phase=stabilize_scan_phase)
+            stabilize_scan_phase=stabilize_scan_phase,
+            rlgaincal=rlgaincal, neggains=neggains)
         phi = None if frcal else field_rotation_angles(obs)
         vis = apply_jones_corruption(vis, obs.baselines, g_R, g_L,
                                      d_R, d_L, phi=phi)

@@ -938,3 +938,37 @@ def test_factored_operator_production_npix(obs_empty):
     pred_c = vis[:, 0] + 1j * vis[:, 1]
     np.testing.assert_allclose(pred_c[finite], target[finite],
                                rtol=5e-4, atol=1e-6 * npix * npix)
+
+
+def test_rlgaincal_correlates_feeds(array):
+    """rlgaincal=True must give R and L feeds IDENTICAL time-dependent
+    gains; the default (False, the reference's station-noise setting)
+    draws them independently (reference observation.py:171,184)."""
+    obs = obs_lib.empty_eht_obs(array, nt=8, tint=60.0)
+    rng = np.random.default_rng(3)
+    g_R, g_L, _, _ = obs_lib.station_jones(obs, rng, station_noise=True,
+                                           rlgaincal=True)
+    np.testing.assert_array_equal(g_R, g_L)
+    rng = np.random.default_rng(3)
+    g_R, g_L, _, _ = obs_lib.station_jones(obs, rng, station_noise=True,
+                                           rlgaincal=False)
+    assert np.abs(g_R - g_L).max() > 1e-3
+
+
+def test_neggains_one_sided_losses(array):
+    """neggains=True draws loss-only constant offsets (gains biased
+    below 1); the symmetric default centers them at 1 (ehtim neggains;
+    reference observation.py:167)."""
+    obs = obs_lib.empty_eht_obs(array, nt=6, tint=60.0)
+    means = {True: [], False: []}
+    for seed in range(60):
+        for neg in (True, False):
+            rng = np.random.default_rng(seed)
+            g_R, _, _, _ = obs_lib.station_jones(
+                obs, rng, station_noise=True, sigmat=1e-6, neggains=neg)
+            means[neg].append(np.abs(g_R).mean())
+    assert np.mean(means[True]) < 0.93          # biased down
+    assert abs(np.mean(means[False]) - 1.0) < 0.07  # symmetric around 1
+    # every realization's mean gain sits at or below the symmetric one
+    assert np.mean(np.asarray(means[True]) <= np.asarray(means[False])
+                   + 1e-9) > 0.9
