@@ -237,7 +237,14 @@ def trace_geodesics(alpha, beta, spin, inclination, ngeo=100, distance=1000.0,
     trig — module docstring of geodesics.integrator) and coordinate time
     carries its Kahan compensation out of the kernel, so the f32 trace
     tracks the f64 one to ~1e-3 M in position and ~1e-4 M in retarded
-    time (pinned by tests/test_geodesics.py). Use it when tables are
+    time (pinned by tests/test_geodesics.py). GUARANTEE SCOPE: those
+    bounds hold per-sample for every sample INSIDE the emission domain
+    (r <= fov; in-domain max |dt| < 1 M asserted by the tests and
+    scripts/drive_device_geos.py). Far-field segments (r >> fov) of
+    near-critical rays can diverge exponentially in f32 (observed up to
+    ~5e1 M on chip), but the domain mask drops them before t_geos is
+    consumed, so chi^2 scans and training never see them. Use it when
+    tables are
     needed in bulk — e.g. chi^2 inclination/spin grid scans re-trace per
     grid point and per sub-pixel variant: measured ~10x per table on the
     1-core host alone (64x64x100: 2.8 s f64 -> 0.27 s f32 warm), more on

@@ -49,10 +49,28 @@ def main():
     for name, d in (('r_rel', dr), ('theta', dth), ('t', dt)):
         print(f'{name}: median {np.median(d):.2e}  p90 '
               f'{np.quantile(d, 0.9):.2e}  max {d.max():.2e}', flush=True)
+
+    # The acceptance enforces TWO bounds (VERDICT r4 weak #2):
+    # 1. bulk quantiles (p90) over all samples — integrator health;
+    # 2. the IN-DOMAIN max: every sample inside the emission domain
+    #    (r <= fov=16 M here) must track t to < 1 M. The global max can
+    #    be huge (observed 52 M on chip): far-field segments (r ~ 700+)
+    #    of near-critical rays diverge exponentially in f32, but the
+    #    domain mask (CompactRayArgs / rmax interpolation cut) drops
+    #    them before t_geos feeds the warp, so they are irrelevant by
+    #    construction — quantified in tests/test_geodesics.py.
+    fov = 16.0
+    in_dom = g64.r <= fov
+    dt_dom_max = float(dt[in_dom].max())
+    dt_dom_p99 = float(np.quantile(dt[in_dom], 0.99))
+    print(f't (in-domain r<={fov:.0f}M, n={int(in_dom.sum())}): '
+          f'p99 {dt_dom_p99:.2e}  max {dt_dom_max:.2e}', flush=True)
     ok = (np.quantile(dr, 0.9) < 1e-4 and np.quantile(dth, 0.9) < 1e-3
-          and np.quantile(dt, 0.9) < 1e-3)
+          and np.quantile(dt, 0.9) < 1e-3
+          and dt_dom_max < 1.0 and dt_dom_p99 < 1e-2)
     print('ACCURACY OK' if ok else 'ACCURACY REGRESSION', flush=True)
+    return 0 if ok else 1
 
 
 if __name__ == '__main__':
-    main()
+    sys.exit(main())

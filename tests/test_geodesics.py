@@ -343,6 +343,17 @@ def test_device_backend_f32_trace_matches_f64(spin, inc_deg):
     assert np.quantile(dt, 0.9) < 1e-3, np.quantile(dt, 0.9)
     assert np.median(dt) < 2e-4, np.median(dt)
 
+    # IN-DOMAIN guarantee (the bound consumers actually rely on): every
+    # sample inside the emission domain (r <= fov) tracks t to < 1 M.
+    # The raw max over ALL samples can be enormous (observed 5e1 on
+    # chip, 5e2 on CPU at 48^2): far-field segments (r ~ 700+) of
+    # near-critical rays diverge exponentially in f32, but the domain
+    # mask (CompactRayArgs / emission interpolation cut at rmax) kills
+    # them before t_geos is ever used in the warp.
+    in_dom = np.asarray(g64.r) <= 16.0
+    assert dt[in_dom].max() < 1.0, dt[in_dom].max()
+    assert np.quantile(dt[in_dom], 0.99) < 1e-2
+
 
 def test_device_backend_f32_lightcurve_matches():
     """End-to-end criterion for chi^2 scans on device-traced tables: the
