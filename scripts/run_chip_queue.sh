@@ -22,18 +22,26 @@ run() {
   return $rc
 }
 
-# 1. headline bench artifact (fail-fast on outage: value null, rc=2)
+# 1. headline bench artifact (fail-fast on outage: value null, rc=2);
+#    round 5: repeats timed sections 5x, reports median + spread
 run bench            2400 python bench.py
-# 2. round-4 Pallas changes on real Mosaic (interpret mode can't catch
-#    lowering errors): frozen + learnable grad equality, slowdown < 2x
+# 2. Pallas changes on real Mosaic (interpret mode can't catch lowering
+#    errors): frozen + learnable grad equality, slowdown < 2x
 run fused_chip       1800 python scripts/drive_fused_chip.py
-# 3. on-device f32 geodesic trace accuracy + speedup (never run on chip)
+# 3. on-device f32 geodesic trace accuracy + speedup; round 5: enforces
+#    the in-domain |dt| < 1 M bound and exits nonzero on regression
 run device_geos      1200 python scripts/drive_device_geos.py
 # 4. recovery north stars (first run on a fresh host recompiles 15-25m)
 run recovery         2400 python bench_recovery.py
 run recovery_eht     2400 python bench_recovery.py --eht
-run recovery_eht128  3600 python bench_recovery.py --eht --npix 128
-# 5. MFU breakdown for the polarized flagship (VERDICT r4 item #3)
+run recovery_eht128  3600 python bench_recovery.py --eht --npix 128 --operator factored
+# 5. MFU breakdown for the polarized flagship
 run perf_alma        1800 python scripts/perf_trace.py --alma
+# 6. SIGTERM mid-dispatch drill (VERDICT r5: the long-dispatch race is
+#    only observable on hardware)
+run sigterm          1800 python scripts/drive_sigterm_chip.py
+# 7. ONE full production ALMA fit: 50k iters, 10-variant ensemble,
+#    batchsize 6, live LogFns, preempt + resume (VERDICT r4 item #3)
+run alma_production  3600 python scripts/drive_alma_production.py
 
 echo "=== chip queue finished $(date -u +%FT%TZ) ===" >> "$SUMMARY"
