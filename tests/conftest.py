@@ -49,10 +49,15 @@ _t_session = _time.time()
 
 def pytest_sessionfinish(session, exitstatus):
     dur = _time.time() - _t_session
-    # only full default runs count (selections/-k subsets are shorter)
-    full = not (session.config.option.keyword
-                or session.config.option.file_or_dir not in ([], ['tests'],
-                                                             ['tests/']))
+    # only full default runs count (selections/-k/-m subsets differ)
+    opt = session.config.option
+    full = not (opt.keyword
+                or getattr(opt, 'markexpr', '') not in ('', 'not smoke')
+                or opt.file_or_dir not in ([], ['tests'], ['tests/']))
+    # warn above budget; FAIL only on two consecutive runs >20% over
+    # (the 1-core box shares CPU with chip-queue host work, so a single
+    # or marginal overshoot is load noise, not suite growth)
+    hard = 1.2 * _SUITE_BUDGET_S
     prev = None
     try:
         prev = _json.load(open(_DURATION_FILE))
@@ -61,18 +66,18 @@ def pytest_sessionfinish(session, exitstatus):
     if full:
         with open(_DURATION_FILE, 'w') as f:
             _json.dump({'duration_s': round(dur, 1),
-                        'over_budget': dur > _SUITE_BUDGET_S}, f)
+                        'over_hard': dur > hard}, f)
     tr = session.config.pluginmanager.get_plugin('terminalreporter')
     if full and dur > _SUITE_BUDGET_S:
+        repeat = bool(prev and prev.get('over_hard')) and dur > hard
         msg = (f'suite took {dur:.0f}s > budget {_SUITE_BUDGET_S:.0f}s'
-               + (' on a WARM cache too — hoist slow fixtures '
-                  '(pytest --durations=15)'
-                  if prev and prev.get('over_budget') else
-                  ' (cold cache is exempt once; a second over-budget '
-                  'run fails)'))
+               + (' — >20% over TWICE in a row: hoist slow fixtures '
+                  '(pytest --durations=15)' if repeat else
+                  f' (fails only after two consecutive runs '
+                  f'> {hard:.0f}s)'))
         if tr:
             tr.write_line('SUITE BUDGET EXCEEDED: ' + msg, red=True)
-        if prev and prev.get('over_budget'):
+        if repeat:
             session.exitstatus = 1
     elif full and tr:
         tr.write_line(f'suite budget: {dur:.0f}s / '
