@@ -82,7 +82,11 @@ def child(ckpt_dir, num_iters):
 
     opt.run(batchsize=8, train_step=ts, raytracing_args=crt,
             log_fns=[Progress()], verbose=False, scan_chunk=CHUNK)
-    print(f'CHILD_EXIT step={int(np.asarray(opt.state.step))}', flush=True)
+    # wall clock at which the (possibly forced) checkpoint is durable —
+    # the preemption-relevant instant; interpreter/TPU-plugin teardown
+    # afterwards can take minutes behind the tunnel and does not matter
+    print(f'CHILD_EXIT step={int(np.asarray(opt.state.step))} '
+          f'at={time.time():.3f}', flush=True)
 
 
 def main():
@@ -119,12 +123,20 @@ def main():
     print(out)
     assert p.returncode == 0, f'child rc={p.returncode} (not a clean exit)'
     assert 'CHILD_EXIT step=' in out, 'child did not reach the clean-exit path'
-    stop_step = int(out.rsplit('CHILD_EXIT step=', 1)[1].split()[0])
+    tail_kv = out.rsplit('CHILD_EXIT step=', 1)[1].split()
+    stop_step = int(tail_kv[0])
+    # signal-to-durable-checkpoint latency (what a preemption grace
+    # period actually needs); t_exit additionally includes teardown
+    t_ckpt = None
+    if len(tail_kv) > 1 and tail_kv[1].startswith('at='):
+        t_ckpt = float(tail_kv[1][3:]) - t_sig
     assert 0 < stop_step < num_iters, (stop_step, num_iters)
     cdirs = [d for d in os.listdir(ckpt) if d.startswith('checkpoint_')]
     assert f'checkpoint_{stop_step}' in cdirs, (stop_step, cdirs)
-    print(f'# SIGTERM at +{0.0:.1f}s -> clean exit {t_exit:.1f}s later, '
-          f'forced checkpoint at step {stop_step}', flush=True)
+    ck = f'{t_ckpt:.1f}s' if t_ckpt is not None else 'n/a'
+    print(f'# SIGTERM -> durable checkpoint {ck}, process exit '
+          f'{t_exit:.1f}s (incl. teardown), forced checkpoint at step '
+          f'{stop_step}', flush=True)
 
     # resume: a rerun must restore the forced checkpoint and finish
     extra = 2 * CHUNK
@@ -140,6 +152,8 @@ def main():
         'resumed run did not complete'
 
     print(json.dumps({'metric': 'sigterm_drill', 'interrupt_step': stop_step,
+                      'ckpt_latency_s': (round(t_ckpt, 1)
+                                         if t_ckpt is not None else None),
                       'clean_exit_s': round(t_exit, 1),
                       'resumed_to': stop_step + extra, 'ok': True}),
           flush=True)
