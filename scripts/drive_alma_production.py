@@ -94,23 +94,35 @@ def main():
            str(inc), '--data_path', csv_path, '--config_path', cfg_path]
 
     # ---- leg 1: launch the production fit, SIGTERM mid-run ------------
+    # Child output goes to a FILE, not a pipe: tqdm refreshes ~10x/s on
+    # stderr and fills a 64 KB pipe within a minute, blocking the child
+    # on write() before the first checkpoint (observed in the round-5
+    # queue as "timeout before first periodic checkpoint", rc=1).
     t0 = time.time()
-    p = subprocess.Popen(fit, stdout=subprocess.PIPE,
-                         stderr=subprocess.STDOUT, text=True, env=env)
+    leg1_log = os.path.join(work, 'fit_leg1.log')
+
+    def leg1_tail():
+        with open(leg1_log, 'r', errors='replace') as f:
+            return f.read()[-2000:]
+
+    with open(leg1_log, 'w') as logf:
+        p = subprocess.Popen(fit, stdout=logf, stderr=subprocess.STDOUT,
+                             text=True, env=env)
     first_ckpt = os.path.join(run_dir, f'checkpoint_{save_period}')
     while not os.path.exists(first_ckpt):
         if p.poll() is not None:
-            print(p.stdout.read())
+            print(leg1_tail())
             raise SystemExit('fit died before the first periodic '
                              'checkpoint')
         if time.time() - t0 > 3000:
             p.kill()
+            print(leg1_tail())
             raise SystemExit('timeout before first periodic checkpoint')
         time.sleep(2.0)
     time.sleep(1.0)                             # land mid-chunk
     p.send_signal(signal.SIGTERM)
-    out, _ = p.communicate(timeout=600)
-    assert p.returncode == 0, f'fit rc={p.returncode}:\n{out[-2000:]}'
+    p.wait(timeout=600)
+    assert p.returncode == 0, f'fit rc={p.returncode}:\n{leg1_tail()}'
     from bhnerf_tpu.train.state import latest_checkpoint_step
     stop_step = latest_checkpoint_step(run_dir)
     assert stop_step and stop_step < args.num_iters, stop_step
