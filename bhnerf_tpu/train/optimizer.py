@@ -208,10 +208,25 @@ class Optimizer:
         key = jax.random.fold_in(jax.random.PRNGKey(self.seed),
                                  self.init_step)
         step = self.init_step - 1
+        # Per-step scalar LogFns (log_period == 1, the LogFn default —
+        # e.g. the train-loss tensorboard scalar every fit script
+        # installs) must NOT enter the boundary alignment below: a
+        # period of 1 clamps every chunk to ONE step, silently restoring
+        # the per-step dispatch cadence scan chunking exists to remove
+        # (observed on chip: 2.3 s/step vs 147 steps/s chunked). The
+        # scan body already returns every step's loss, so these are
+        # replayed host-side from each chunk's loss vector instead —
+        # identical (step, loss) series, one dispatch per chunk. They
+        # observe END-OF-CHUNK params/opt-state, which pure scalar-loss
+        # loggers never read; param-reading callbacks should use
+        # log_period > 1 (boundary-aligned, exact params at their step).
+        per_step_fns = [f for f in self.log_fns
+                        if getattr(f, 'log_period', None) == 1]
+        chunk_fns = [f for f in self.log_fns if f not in per_step_fns]
         # chunk boundaries align to every save/log period so modulo-gated
         # checkpoints and LogFns fire exactly as in the per-step loop
         # (distinct chunk sizes are few and lru-cached)
-        periods = [int(f.log_period) for f in self.log_fns
+        periods = [int(f.log_period) for f in chunk_fns
                    if getattr(f, 'log_period', 0) and f.log_period > 0]
         if self.checkpoint_dir:  # save gate is moot without a directory
             periods.append(self.save_period)
@@ -227,7 +242,8 @@ class Optimizer:
             with _GracefulShutdown() as shutdown:
                 self._scan_loop(shutdown, batchsize, train_step, rt,
                                 scan_chunk, num_variants, scale, key,
-                                step, next_boundary, pbar)
+                                step, next_boundary, pbar,
+                                per_step_fns, chunk_fns)
         except KeyboardInterrupt:
             return
         finally:
@@ -235,7 +251,10 @@ class Optimizer:
                 pbar.close()
 
     def _scan_loop(self, shutdown, batchsize, train_step, rt, scan_chunk,
-                   num_variants, scale, key, step, next_boundary, pbar):
+                   num_variants, scale, key, step, next_boundary, pbar,
+                   per_step_fns=(), chunk_fns=None):
+        if chunk_fns is None:
+            chunk_fns = self.log_fns
         while step < self.final_step - 1:
             chunk = min(scan_chunk, self.final_step - 1 - step,
                         next_boundary(step) - step)
@@ -269,7 +288,19 @@ class Optimizer:
                 return
             if pbar is not None:
                 pbar.update(int(chunk))
-            self.log()
+            if per_step_fns:
+                # replay the chunk's exact per-step loss series for
+                # log_period==1 callbacks (see _run_scan)
+                losses_np = np.asarray(losses)
+                for i in range(int(chunk)):
+                    self.step = step - int(chunk) + i + 1
+                    self.loss = losses_np[i]
+                    for f in per_step_fns:
+                        f(self)
+                self.step = step
+                self.loss = losses_np[-1]
+            for f in chunk_fns:
+                f(self)
             self.save_checkpoint()
             if shutdown.requested:
                 # preemption (SIGTERM): persist progress and end the run

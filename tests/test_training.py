@@ -366,6 +366,39 @@ def test_scan_log_and_checkpoint_cadence(tmp_path, problem):
     assert 64 in steps, steps
 
 
+def test_scan_per_step_logfn_does_not_degrade_chunking(problem):
+    """A log_period==1 LogFn (the LogFn default — every fit script's
+    per-step train-loss scalar) must NOT enter the chunk-boundary
+    alignment: it previously clamped every chunk to ONE step, silently
+    restoring the per-step dispatch cadence (2.3 s/step on chip vs 147
+    steps/s chunked). The scan path replays the chunk's exact loss
+    vector through such callbacks instead: the full (step, loss) series
+    is observed while the chip sees one dispatch per chunk."""
+    from bhnerf_tpu.train import LogFn
+
+    predictor = NeRFPredictor(scale=FOV / 2, rmax=FOV / 2, z_width=2.0,
+                              net_width=16, net_depth=2)
+    ts = TrainStep.image(problem['t_frames'],
+                         problem['movie'].sum(axis=(-1, -2)), predictor,
+                         dtype='lc')
+    series = []
+    per_step = LogFn(lambda o: series.append(
+        (int(o.step), float(np.mean(np.asarray(o.loss))))))
+    chunk_ends = []
+
+    def chunk_probe(o):          # raw callable: fires once per chunk
+        chunk_ends.append(int(o.step))
+
+    opt = Optimizer({'num_iters': 100, 'lr_init': 1e-3}, predictor,
+                    problem['rt'])
+    opt.run(batchsize=4, train_step=ts, raytracing_args=problem['rt'],
+            log_fns=[per_step, chunk_probe], verbose=False, scan_chunk=40)
+    assert [s for s, _ in series] == list(range(1, 101))
+    assert all(np.isfinite(l) for _, l in series)
+    # 3 dispatches (40 + 40 + 20), not 100 one-step chunks
+    assert chunk_ends == [40, 80, 100], chunk_ends
+
+
 def test_scan_resume_from_checkpoint(tmp_path, problem):
     """Checkpoint-restored training continues under the scan path: the
     step counter resumes and the extended run draws a fresh batch
