@@ -88,7 +88,14 @@ def main():
                            f'inc_{float(inc):.1f}.seed_{seed}')
     save_period = int(cfg['optimization']['save_period'])
 
-    env = dict(os.environ, PYTHONPATH=REPO)
+    # PREPEND to PYTHONPATH, never replace: the TPU plugin loads via a
+    # sitecustomize on the ambient PYTHONPATH (/root/.axon_site here).
+    # Overwriting it silently drops the plugin and the child fit falls
+    # back to CPU at ~2 s/step — exactly how the round-5 queue run and
+    # the first re-drive burned their whole timeout (fit_leg1.log had
+    # no 'axon' platform banner; host CPU pinned at 100%).
+    env = dict(os.environ, PYTHONPATH=os.pathsep.join(
+        p for p in (REPO, os.environ.get('PYTHONPATH', '')) if p))
     fit = [sys.executable,
            os.path.join(REPO, 'scripts', 'fit_alma_lp_apr11_sgra_flare.py'),
            str(inc), '--data_path', csv_path, '--config_path', cfg_path]
@@ -109,6 +116,7 @@ def main():
         p = subprocess.Popen(fit, stdout=logf, stderr=subprocess.STDOUT,
                              text=True, env=env)
     first_ckpt = os.path.join(run_dir, f'checkpoint_{save_period}')
+    devices_checked = False
     while not os.path.exists(first_ckpt):
         if p.poll() is not None:
             print(leg1_tail())
@@ -118,6 +126,18 @@ def main():
             p.kill()
             print(leg1_tail())
             raise SystemExit('timeout before first periodic checkpoint')
+        if not devices_checked and not os.environ.get('DRIVE_CPU'):
+            # fail fast if the child silently fell back to CPU (a broken
+            # plugin env otherwise burns the whole timeout at ~2 s/step)
+            with open(leg1_log, 'r', errors='replace') as f:
+                head = f.read(4096)
+            if '# jax devices:' in head:
+                devices_checked = True
+                line = [l for l in head.splitlines()
+                        if l.startswith('# jax devices:')][0]
+                if 'TPU' not in line:
+                    p.kill()
+                    raise SystemExit(f'fit is NOT on the TPU: {line!r}')
         time.sleep(2.0)
     time.sleep(1.0)                             # land mid-chunk
     p.send_signal(signal.SIGTERM)

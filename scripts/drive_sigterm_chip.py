@@ -66,8 +66,11 @@ def build_problem():
 
 
 def child(ckpt_dir, num_iters):
+    import jax
+
     from bhnerf_tpu.train import Optimizer
     predictor, crt, ts = build_problem()
+    print(f'# jax devices: {jax.devices()}', flush=True)
     opt = Optimizer({'num_iters': num_iters, 'lr_init': 5e-3, 'seed': 1},
                     predictor, crt, save_period=10 ** 9,
                     checkpoint_dir=ckpt_dir)
@@ -99,7 +102,12 @@ def main():
     progress = os.path.join(ckpt, 'progress.txt')
     num_iters = 20 * CHUNK
 
-    env = dict(os.environ, PYTHONPATH=REPO)
+    # PREPEND to PYTHONPATH, never replace: the TPU plugin loads via a
+    # sitecustomize on the ambient PYTHONPATH; overwriting it drops the
+    # plugin and the child silently runs the drill on CPU (round-5
+    # lesson from the ALMA production drive)
+    env = dict(os.environ, PYTHONPATH=os.pathsep.join(
+        p for p in (REPO, os.environ.get('PYTHONPATH', '')) if p))
     p = subprocess.Popen([sys.executable, os.path.abspath(__file__),
                           '--child', ckpt, str(num_iters)],
                          stdout=subprocess.PIPE,
@@ -123,6 +131,11 @@ def main():
     print(out)
     assert p.returncode == 0, f'child rc={p.returncode} (not a clean exit)'
     assert 'CHILD_EXIT step=' in out, 'child did not reach the clean-exit path'
+    if not os.environ.get('DRIVE_CPU'):
+        dev_line = [l for l in out.splitlines()
+                    if l.startswith('# jax devices:')]
+        assert dev_line and 'TPU' in dev_line[0], \
+            f'drill did NOT run on the TPU: {dev_line}'
     tail_kv = out.rsplit('CHILD_EXIT step=', 1)[1].split()
     stop_step = int(tail_kv[0])
     # signal-to-durable-checkpoint latency (what a preemption grace

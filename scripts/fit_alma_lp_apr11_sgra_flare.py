@@ -38,6 +38,8 @@ def parse_args():
 
 
 def main():
+    import jax
+
     import bhnerf_tpu as bh
     from bhnerf_tpu import alma, config as config_lib, units
     from bhnerf_tpu.models import NeRFPredictor
@@ -47,6 +49,11 @@ def main():
 
     basename = 'inc_{:.1f}.seed_{}'
     args = parse_args()
+    if os.environ.get('DRIVE_CPU'):      # drive rehearsals pin the host
+        jax.config.update('jax_platforms', 'cpu')
+    # backend visibility: a mis-set plugin env silently falls back to
+    # CPU at ~300x the step time — make that diagnosable from the log
+    print(f'# jax devices: {jax.devices()}', flush=True)
     cfg = config_lib.RunConfig.from_yaml(args.config_path)
     if args.data_path:
         cfg.preprocess.data_path = args.data_path
