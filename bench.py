@@ -93,6 +93,28 @@ def time_steps(grad_step, state, batch_args, rt, n_steps):
     return n_steps / (time.perf_counter() - t0), float(np.asarray(loss))
 
 
+def timed_reps(run_chunk, n_chunks, chunk_steps):
+    """Median-of-reps timing methodology (single-sourced; VERDICT r4
+    weak #3: run-to-run spread was ~7% and invisible as a point
+    estimate). Runs `run_chunk(seq)` n_chunks times per rep — seq is a
+    monotone counter for PRNG-key derivation; the callable must return
+    the last device value to block on — and times each rep.
+    BENCH_REPS (default 5) repeats in one process.
+    Returns (median_steps_per_sec, per_rep_rates)."""
+    import jax
+    reps = max(int(os.environ.get('BENCH_REPS', 5)), 1)
+    rates, seq = [], 0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        last = None
+        for _ in range(n_chunks):
+            seq += 1
+            last = run_chunk(seq)
+        jax.block_until_ready(last)
+        rates.append(n_chunks * chunk_steps / (time.perf_counter() - t0))
+    return float(np.median(rates)), rates
+
+
 def rand_indices(rng, nt, batch, n_steps):
     return [np.asarray(rng.choice(nt, batch, replace=False), np.int32)
             for _ in range(n_steps + 1)]
@@ -167,21 +189,16 @@ def bench_alma_shape(predictor_base, mark, num_variants=10, chunk=100):
                             jax.random.PRNGKey(0), stacked, 1.0)
     jax.block_until_ready(losses)
     n_chunks = max(600 // chunk, 1)
-    # repeat the timed block: run-to-run spread was ~7% in round 4
-    # (BENCH vs BENCH_measured); report the median + [min, max]
-    reps = max(int(os.environ.get('BENCH_REPS', 5)), 1)
-    rates = []
-    for r in range(reps):
-        t0 = time.perf_counter()
-        for i in range(n_chunks):
-            state, losses = scan_fn(state, target, sigma, offset, t_all,
-                                    jax.random.PRNGKey(r * n_chunks + i + 1),
-                                    stacked, 1.0)
-        jax.block_until_ready(losses)
-        rates.append(n_chunks * chunk / (time.perf_counter() - t0))
-    steps_per_sec = float(np.median(rates))
+
+    def run_chunk(seq):
+        nonlocal state
+        state, losses = scan_fn(state, target, sigma, offset, t_all,
+                                jax.random.PRNGKey(seq), stacked, 1.0)
+        return losses
+
+    steps_per_sec, rates = timed_reps(run_chunk, n_chunks, chunk)
     mark(f'alma-shape ensemble({num_variants}) path: '
-         f'{steps_per_sec:.2f} steps/s median of {reps} '
+         f'{steps_per_sec:.2f} steps/s median of {len(rates)} '
          f'[{min(rates):.1f}, {max(rates):.1f}]')
     # same convention as the headline mfu: useful matmul FLOPs (fwd +
     # 2x bwd) over the chip's bf16 peak. The structural ceiling for
@@ -407,22 +424,15 @@ def main():
                                  jax.random.PRNGKey(0), crt, 1.0)
         jax.block_until_ready(losses)
         n_chunks = max(1000 // scan_chunk, 1)
-        # N repeats in one process: the round-4 headline had an
-        # unmeasured ~7% run-to-run swing (427 vs 457 steps/s); report
-        # the median + [min, max] spread (VERDICT r4 item #5)
-        reps = max(int(os.environ.get('BENCH_REPS', 5)), 1)
-        scan_rates = []
-        for r in range(reps):
-            t0 = time.perf_counter()
-            for i in range(n_chunks):
-                sstate, losses = scan_fn(sstate, target, sigma, offset,
-                                         t_all,
-                                         jax.random.PRNGKey(r * n_chunks + i),
-                                         crt, 1.0)
-            jax.block_until_ready(losses)
-            scan_rates.append(n_chunks * scan_chunk
-                              / (time.perf_counter() - t0))
-        scan_steps_per_sec = float(np.median(scan_rates))
+
+        def run_chunk(seq):
+            nonlocal sstate
+            sstate, losses = scan_fn(sstate, target, sigma, offset, t_all,
+                                     jax.random.PRNGKey(seq), crt, 1.0)
+            return losses
+
+        scan_steps_per_sec, scan_rates = timed_reps(run_chunk, n_chunks,
+                                                    scan_chunk)
         scan_spread = [round(min(scan_rates), 2), round(max(scan_rates), 2)]
     except Exception as e:  # pragma: no cover - hardware dependent
         mark(f'scan-chunked bench unavailable ({type(e).__name__}: {e}); '

@@ -107,15 +107,26 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
     try:
         jax.distributed.initialize(num_processes=num_processes,
                                    process_id=process_id, **kw)
-    except ValueError:
+    except ValueError as e:
+        # ONLY the no-cluster-detected signature may fall back silently;
+        # argument-validation errors (process_id/num_processes
+        # mismatches) are real misconfigurations and must propagate.
+        if 'coordinator_address should be defined' not in str(e):
+            raise
         log.info('jax.distributed not initialized: no cluster detected '
                  '(single-process run)')
         return False
-    except RuntimeError:
+    except RuntimeError as e:
         # The XLA backend is already initialized (jax.devices() etc. was
         # called first) — too late for initialize() to run detection. If
         # the environment still looks like a cluster, refuse to fall back
         # silently; otherwise this is an ordinary single-process run.
+        # Anything else under RuntimeError — notably JaxRuntimeError
+        # coordinator-connection failures (grpc deadline exceeded) on a
+        # REAL cluster — must propagate, not degrade into N independent
+        # single-process runs.
+        if 'must be called before' not in str(e):
+            raise
         import os
         cluster_env = any(os.environ.get(k) for k in (
             'JAX_COORDINATOR_ADDRESS', 'COORDINATOR_ADDRESS',

@@ -66,8 +66,9 @@ class _GracefulShutdown:
 
         try:
             # _prev may legitimately be None (handler installed outside
-            # Python); _registered, not _prev, records whether we must
-            # restore — signal.signal accepts None as the restore value.
+            # Python, which signal.signal CANNOT restore — passing None
+            # back raises TypeError); _registered, not _prev, records
+            # whether our handler was installed and must be removed.
             self._prev = signal.signal(signal.SIGTERM, handler)
             self._registered = True
         except ValueError:      # not the main thread
@@ -77,7 +78,12 @@ class _GracefulShutdown:
     def __exit__(self, *exc):
         import signal
         if self._registered:
-            signal.signal(signal.SIGTERM, self._prev)
+            # A None _prev (non-Python handler) is unrestorable; fall
+            # back to SIG_DFL so later SIGTERMs still terminate the
+            # process instead of being swallowed by our stale flag-setter.
+            signal.signal(signal.SIGTERM,
+                          self._prev if self._prev is not None
+                          else signal.SIG_DFL)
         return False
 
 

@@ -128,16 +128,21 @@ def main():
             raise SystemExit('timeout before first periodic checkpoint')
         if not devices_checked and not os.environ.get('DRIVE_CPU'):
             # fail fast if the child silently fell back to CPU (a broken
-            # plugin env otherwise burns the whole timeout at ~2 s/step)
+            # plugin env otherwise burns the whole timeout at ~2 s/step).
+            # Read a generous window (import-time warnings can push the
+            # banner well past 4 KB) and only judge a COMPLETE line —
+            # a banner straddling the read boundary must not false-kill.
             with open(leg1_log, 'r', errors='replace') as f:
-                head = f.read(4096)
-            if '# jax devices:' in head:
+                head = f.read(262144)
+            lines = [l for l in head.splitlines(keepends=True)
+                     if l.startswith('# jax devices:')
+                     and l.endswith('\n')]
+            if lines:
                 devices_checked = True
-                line = [l for l in head.splitlines()
-                        if l.startswith('# jax devices:')][0]
-                if 'TPU' not in line:
+                if 'TPU' not in lines[0]:
                     p.kill()
-                    raise SystemExit(f'fit is NOT on the TPU: {line!r}')
+                    raise SystemExit(
+                        f'fit is NOT on the TPU: {lines[0].strip()!r}')
         time.sleep(2.0)
     time.sleep(1.0)                             # land mid-chunk
     p.send_signal(signal.SIGTERM)
@@ -150,19 +155,35 @@ def main():
           f'({time.time() - t0:.0f}s in), clean exit', flush=True)
 
     # ---- leg 2: resume from the forced checkpoint to the full count ---
-    # (the sweep-level resume skips EXISTING run dirs — reference
-    # alma.py:109 semantics — so mid-run resume goes through the
-    # Optimizer's own restore, exactly what a preempted pod rerun does)
-    t1 = time.time()
+    # through the REAL entry point's --resume mode (mid-run Optimizer
+    # restore; the default sweep-level resume would skip the existing
+    # run dir — reference alma.py:109 semantics). The drill therefore
+    # exercises exactly the command a preempted pod rerun issues.
+    leg2_log = os.path.join(work, 'fit_leg2.log')
+    with open(leg2_log, 'w') as logf:
+        r = subprocess.run(fit + ['--resume'], stdout=logf,
+                           stderr=subprocess.STDOUT, text=True, env=env,
+                           timeout=3000)
+    leg2_out = open(leg2_log, errors='replace').read()
+    print(leg2_out[-3000:])
+    assert r.returncode == 0, leg2_out[-2000:]
+    # "# resume: inc_60.0.seed_4 from step 5500, 44500 remaining"
+    # (searched, not line-anchored: tqdm's cursor escapes share lines)
+    import re
+    m = re.search(r'# resume: \S+ from step (\d+), (\d+) remaining',
+                  leg2_out)
+    assert m, 'fit --resume never hit the resume path'
+    start = int(m.group(1))
+    assert start == stop_step, (start, stop_step)
+    final = latest_checkpoint_step(run_dir)
+    assert final == args.num_iters, (final, args.num_iters)
+
+    # ---- evaluate: train/val chi^2 of the finished fit ----------------
     r = subprocess.run([sys.executable, '-c', f'''
-import os, sys, json, time
+import os, sys, json
 sys.path.insert(0, {REPO!r})
 import numpy as np
-import yaml
 from bhnerf_tpu import alma, config as config_lib, units
-from bhnerf_tpu.models import NeRFPredictor
-from bhnerf_tpu.train import LogFn, Optimizer, TrainStep
-from bhnerf_tpu.train.logging import SummaryWriter
 cfg = config_lib.RunConfig.from_yaml({cfg_path!r})
 cfg.preprocess.data_path = {csv_path!r}
 opt_cfg = cfg.optimization
@@ -173,49 +194,23 @@ split = units.Quantity(cfg.preprocess.t_start, 'hr') + units.Quantity(
 t_vals = np.asarray(units.Quantity(t_frames, 'hr').value)
 train_idx = t_vals <= split.to('hr').value
 model = cfg.model
-rmax = model.fov_M / 2
-predictor = NeRFPredictor(scale=rmax, rmin=model.resolved_rmin(),
-                          rmax=rmax, z_width=model.z_width)
-train_step = TrainStep.image(
-    units.Quantity(t_vals[train_idx], 'hr'), target[train_idx],
-    predictor, sigma=np.asarray(opt_cfg.sigma), dtype='lc',
-    fused=opt_cfg.fused)
-rot_angle = np.deg2rad(cfg.preprocess.de_rot_angle + 20.0)
-rt_raw = alma.get_raytracing_args(np.deg2rad({inc}), model.spin,
-                                  model.asdict(), rot_angle=rot_angle,
-                                  num_subpixel_rays=model.num_subrays)
-rt = rt_raw
-if opt_cfg.fused:
-    from bhnerf_tpu.train.step import compact_ensemble_args
-    rt = compact_ensemble_args(rt_raw, predictor, layout='gather')
-hparams = opt_cfg.hparams.asdict()
-run_dir = {run_dir!r}
-writer = SummaryWriter(logdir=os.path.join(opt_cfg.log_dir, 'resume'))
-log_fns = [LogFn(lambda opt: writer.add_scalar(
-    'log_loss/train', np.log10(np.mean(opt.loss)), global_step=opt.step))]
-opt = Optimizer(hparams, predictor, rt, save_period=opt_cfg.save_period,
-                checkpoint_dir=run_dir)
-start = int(np.asarray(opt.state.step))
-opt.num_iters = {args.num_iters} - start        # finish the schedule
-opt.run(opt_cfg.batchsize, train_step, rt, log_fns=log_fns,
-        scan_chunk=opt_cfg.scan_chunk)
-final = int(np.asarray(opt.state.step))
+rt_raw = alma.get_raytracing_args(
+    np.deg2rad({inc}), model.spin, model.asdict(),
+    rot_angle=np.deg2rad(cfg.preprocess.de_rot_angle + 20.0),
+    num_subpixel_rays=model.num_subrays)
 sig = np.asarray(opt_cfg.sigma)
 chi2_tr = float(alma.chi2_lightcurves(
-    rt_raw, run_dir, units.Quantity(t_vals[train_idx], 'hr'),
+    rt_raw, {run_dir!r}, units.Quantity(t_vals[train_idx], 'hr'),
     target[train_idx], sigma=sig, batchsize=20))
 chi2_va = float(alma.chi2_lightcurves(
-    rt_raw, run_dir, units.Quantity(t_vals[~train_idx], 'hr'),
+    rt_raw, {run_dir!r}, units.Quantity(t_vals[~train_idx], 'hr'),
     target[~train_idx], sigma=sig, batchsize=20))
-writer.close()
-print('RESUME_RESULT ' + json.dumps(dict(
-    start=start, final=final, chi2_train=chi2_tr, chi2_val=chi2_va)))
-'''], capture_output=True, text=True, env=env, timeout=3000)
-    print(r.stdout[-3000:])
+print('EVAL_RESULT ' + json.dumps(dict(
+    chi2_train=chi2_tr, chi2_val=chi2_va)))
+'''], capture_output=True, text=True, env=env, timeout=1200)
+    print(r.stdout[-1500:])
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
-    res = json.loads(r.stdout.rsplit('RESUME_RESULT ', 1)[1].splitlines()[0])
-    assert res['start'] == stop_step, (res, stop_step)
-    assert res['final'] == args.num_iters, res
+    res = json.loads(r.stdout.rsplit('EVAL_RESULT ', 1)[1].splitlines()[0])
     wall = time.time() - t0
     result = {
         'metric': 'alma_production', 'num_iters': args.num_iters,

@@ -52,22 +52,28 @@ def main():
 
     # The acceptance enforces TWO bounds (VERDICT r4 weak #2):
     # 1. bulk quantiles (p90) over all samples — integrator health;
-    # 2. the IN-DOMAIN max: every sample inside the emission domain
-    #    (r <= fov=16 M here) must track t to < 1 M. The global max can
-    #    be huge (observed 52 M on chip): far-field segments (r ~ 700+)
-    #    of near-critical rays diverge exponentially in f32, but the
-    #    domain mask (CompactRayArgs / rmax interpolation cut) drops
-    #    them before t_geos feeds the warp, so they are irrelevant by
-    #    construction — quantified in tests/test_geodesics.py.
+    # 2. the IN-DOMAIN max: every sample the CONSUMERS would keep must
+    #    track t to < 1 M. The gate uses the f32 table's OWN radii —
+    #    exactly the mask CompactRayArgs / the rmax interpolation cut
+    #    apply in the device-trace workflow — so a diverged f32 sample
+    #    whose f32 r wandered back under rmax is covered by the bound,
+    #    not excluded by an f64-truth mask the pipeline never sees.
+    #    The global max can still be huge (observed 52 M on chip):
+    #    far-field segments (r ~ 700+) of near-critical rays diverge
+    #    exponentially in f32 but sit outside the gate by their own
+    #    f32 radii — quantified in tests/test_geodesics.py.
     fov = 16.0
-    in_dom = g64.r <= fov
+    in_dom = np.asarray(g32.r) <= fov
+    reentry = in_dom & (np.asarray(g64.r) > 2 * fov)
     dt_dom_max = float(dt[in_dom].max())
     dt_dom_p99 = float(np.quantile(dt[in_dom], 0.99))
-    print(f't (in-domain r<={fov:.0f}M, n={int(in_dom.sum())}): '
+    print(f't (in-domain f32 r<={fov:.0f}M, n={int(in_dom.sum())}, '
+          f'divergent re-entries {int(reentry.sum())}): '
           f'p99 {dt_dom_p99:.2e}  max {dt_dom_max:.2e}', flush=True)
     ok = (np.quantile(dr, 0.9) < 1e-4 and np.quantile(dth, 0.9) < 1e-3
           and np.quantile(dt, 0.9) < 1e-3
-          and dt_dom_max < 1.0 and dt_dom_p99 < 1e-2)
+          and dt_dom_max < 1.0 and dt_dom_p99 < 1e-2
+          and not reentry.any())
     print('ACCURACY OK' if ok else 'ACCURACY REGRESSION', flush=True)
     return 0 if ok else 1
 

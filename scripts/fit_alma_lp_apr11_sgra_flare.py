@@ -34,6 +34,12 @@ def parse_args():
                         default=str(Path(__file__).with_name(
                             'fit_alma_lp_apr11_sgra_flare.yaml')),
                         help='Path to configuration YAML file')
+    parser.add_argument('--resume', action='store_true',
+                        help='Resume INCOMPLETE runs mid-schedule from '
+                             'their latest checkpoint instead of skipping '
+                             'existing run dirs (the default sweep-level '
+                             'resume, reference alma.py:109). Finished '
+                             'runs are still skipped.')
     return parser.parse_args()
 
 
@@ -107,8 +113,9 @@ def main():
         for seed in tqdm(seeds, desc='seed', leave=False):
             runname = basename.format(inclination, seed)
             checkpoint_dir = ckpt_root / runname
-            if checkpoint_dir.exists():
-                continue  # sweep-level resume
+            resuming = checkpoint_dir.exists()
+            if resuming and not args.resume:
+                continue  # sweep-level resume (reference alma.py:109)
 
             writer = SummaryWriter(logdir=os.path.join(opt_cfg.log_dir,
                                                        runname))
@@ -132,6 +139,20 @@ def main():
             optimizer = Optimizer(hparams, predictor, raytracing_args,
                                   save_period=opt_cfg.save_period,
                                   checkpoint_dir=str(checkpoint_dir))
+            if resuming:
+                # Optimizer.__init__ restored the latest checkpoint;
+                # num_iters means "iterations from here", so finish the
+                # CONFIGURED total schedule (this is the path a preempted
+                # pod rerun takes — drilled by drive_alma_production.py)
+                done = int(np.asarray(jax.device_get(
+                    optimizer.state.step)))
+                remaining = int(hparams['num_iters']) - done
+                print(f'# resume: {runname} from step {done}, '
+                      f'{remaining} remaining', flush=True)
+                if remaining <= 0:
+                    writer.close()
+                    continue  # already finished
+                optimizer.num_iters = remaining
             optimizer.run(opt_cfg.batchsize, train_step, raytracing_args,
                           log_fns=log_fns, scan_chunk=opt_cfg.scan_chunk)
             writer.close()

@@ -350,9 +350,20 @@ def test_device_backend_f32_trace_matches_f64(spin, inc_deg):
     # near-critical rays diverge exponentially in f32, but the domain
     # mask (CompactRayArgs / emission interpolation cut at rmax) kills
     # them before t_geos is ever used in the warp.
-    in_dom = np.asarray(g64.r) <= 16.0
+    # The mask MUST be the f32 table's own radii — that is the gate the
+    # consumers apply in the device-trace workflow. A diverged f32
+    # sample whose f32 r wandered back under rmax WOULD be consumed, so
+    # it must be covered by (and fail) this bound, not excluded by an
+    # f64-truth mask it never sees.
+    in_dom = np.asarray(g32.r) <= 16.0
     assert dt[in_dom].max() < 1.0, dt[in_dom].max()
     assert np.quantile(dt[in_dom], 0.99) < 1e-2
+    # and the f32 gate must not admit samples that are truly far-field
+    # (divergent re-entry): f32-in-domain while f64 says r > 2*rmax
+    reentry = in_dom & (np.asarray(g64.r) > 32.0)
+    assert not reentry.any(), (
+        f'{int(reentry.sum())} diverged f32 samples re-entered the '
+        f'domain gate (true r > 32 M)')
 
 
 def test_device_backend_f32_lightcurve_matches():

@@ -645,7 +645,12 @@ def test_two_process_integration(tmp_path):
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = os.path.join(repo, 'tests', '_two_process_worker.py')
-    env = dict(os.environ, PYTHONPATH=repo, JAX_PLATFORMS='cpu')
+    # PREPEND to PYTHONPATH, never replace (CLAUDE.md: the TPU plugin's
+    # sitecustomize rides the ambient path; harmless here only because
+    # the worker pins jax_platforms='cpu', but keep the pattern safe)
+    env = dict(os.environ, PYTHONPATH=os.pathsep.join(
+        p for p in (repo, os.environ.get('PYTHONPATH', '')) if p),
+        JAX_PLATFORMS='cpu')
     env.pop('XLA_FLAGS', None)          # worker sets its own 4-device flag
     procs = [subprocess.Popen(
         [sys.executable, worker, str(pid), str(port), str(tmp_path)],
