@@ -42,3 +42,23 @@ def test_entry_point_small(script, tmp_path):
         f'{script} failed (rc={proc.returncode}):\n'
         f'--- stdout ---\n{proc.stdout[-2000:]}\n'
         f'--- stderr ---\n{proc.stderr[-3000:]}')
+
+
+@pytest.mark.smoke
+def test_production_drive_preempt_resume_rehearsal():
+    """CPU rehearsal of the production ALMA drive (DRIVE_CPU shrink):
+    leg 1 launches the real fit script and SIGTERMs it mid-run after the
+    first periodic checkpoint; leg 2 resumes through the fit script's
+    --resume mode (mid-run Optimizer restore, NOT the sweep-level skip)
+    and must finish the configured schedule and evaluate chi^2."""
+    env = dict(os.environ, DRIVE_CPU='1')
+    env['PYTHONPATH'] = str(REPO) + os.pathsep + env.get('PYTHONPATH', '')
+    proc = subprocess.run(
+        [sys.executable, str(REPO / 'scripts' / 'drive_alma_production.py'),
+         '--num-iters', '400'], cwd=str(REPO), env=env,
+        capture_output=True, text=True, timeout=1100)
+    assert proc.returncode == 0, (
+        f'drive failed (rc={proc.returncode}):\n'
+        f'--- stdout ---\n{proc.stdout[-2500:]}\n'
+        f'--- stderr ---\n{proc.stderr[-2500:]}')
+    assert '"ok": true' in proc.stdout, proc.stdout[-1500:]
