@@ -24,7 +24,12 @@ def compilation_cache_dir(base='/tmp/bhnerf_tpu_jax_cache'):
     across driver rounds on this fleet: 'Target machine feature
     +prefer-no-scatter is not supported'), costing a full recompile
     plus error spam every process. Keying the directory by the host's
-    CPU flags keeps each host's cache to itself."""
+    CPU flags keeps each host's cache to itself. The key also folds in
+    the jaxlib version: XLA's target-feature DERIVATION changes across
+    releases (e.g. the prefer-no-gather tuning flag), so entries written
+    by an older jaxlib on the SAME host fail to load forever while the
+    cache never overwrites them — a permanent ~80 s/process recompile
+    tax until the stale population is segregated."""
     import hashlib
     import platform
     key = platform.node() or 'host'
@@ -35,6 +40,11 @@ def compilation_cache_dir(base='/tmp/bhnerf_tpu_jax_cache'):
                     key = hashlib.md5(line.encode()).hexdigest()[:10]
                     break
     except OSError:
+        pass
+    try:
+        import importlib.metadata
+        key += '_' + importlib.metadata.version('jaxlib')
+    except Exception:
         pass
     return f'{base}_{key}'
 

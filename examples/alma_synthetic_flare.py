@@ -77,15 +77,19 @@ def main(out_dir='example_outputs', small=False):
 
     os.makedirs(out_dir, exist_ok=True)
     csv = os.path.join(out_dir, 'alma_synthetic.csv')
+    # --small must fit the 1200 s smoke budget on the 1-core CPU box:
+    # the per-step fit loop and the 2-inclination chi2 scan dominate, so
+    # shrink iterations AND the fit window (fewer scans -> cheaper fit
+    # batches and chi2 renders). The scan still picks the true 60 deg.
     num = 16 if small else 32
-    iters = 500 if small else 1000
+    iters = 250 if small else 1000
     rot_angle = np.deg2rad(32.2 + 20.0)
     model_params = synthesize_alma_csv(csv, num=num, rot_angle=rot_angle)
 
     # 1. preprocessing (window average, shadow subtraction, de-rotation)
     target, t_frames = alma.preprocess_data(
         csv, window_size=8, I_hs_mean=0.3, P_sha=0.16, chi_sha=-37.0,
-        de_rot_angle=32.2, t_start=9.33, t_end=11.0)
+        de_rot_angle=32.2, t_start=9.33, t_end=10.4 if small else 11.0)
     print(f'preprocessed: {target.shape[0]} scans, stokes I/Q/U')
 
     # 2. fit at a few inclinations, score with chi2

@@ -53,6 +53,10 @@ def test_production_drive_preempt_resume_rehearsal():
     and must finish the configured schedule and evaluate chi^2."""
     env = dict(os.environ, DRIVE_CPU='1')
     env['PYTHONPATH'] = str(REPO) + os.pathsep + env.get('PYTHONPATH', '')
+    # do NOT inherit the test session's 8-virtual-device XLA_FLAGS: the
+    # drive's children would run an 8-way mesh on this 1-core box (~4x
+    # the single-device rehearsal) and blow the timeout
+    env.pop('XLA_FLAGS', None)
     proc = subprocess.run(
         [sys.executable, str(REPO / 'scripts' / 'drive_alma_production.py'),
          '--num-iters', '400'], cwd=str(REPO), env=env,
